@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding logic (pjit/shard_map over a Mesh) is validated on virtual
+CPU devices; real-TPU runs happen only in bench.py / driver dry-runs.
+
+Note: this environment pre-imports jax at interpreter startup with
+JAX_PLATFORMS pointing at the TPU tunnel, so env vars set here are too late —
+we must use jax.config.update before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
