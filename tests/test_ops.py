@@ -1,0 +1,227 @@
+"""Golden tests for flope_tpu.ops vs cv2 / numpy oracles.
+
+cv2 is the exact library the reference used for these ops, so parity against
+cv2 here is parity against the reference pipeline's preprocessing
+(pose_predictor.py:139-149, image_manipulation.py:21-96).
+"""
+
+import cv2
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from flope_tpu.ops import (
+    crop_resize,
+    crop_resize_with_mask,
+    resize_image,
+    ellipse_kernel,
+    erode,
+    masked_depth_value,
+    iou_matrix,
+    nms,
+)
+
+
+def make_image(rng, h=240, w=320):
+    return rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+class TestEllipseKernel:
+    @pytest.mark.parametrize("k", [3, 5, 7, 10, 11, 15])
+    def test_matches_cv2(self, k):
+        want = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+        got = ellipse_kernel(k)
+        np.testing.assert_array_equal(got, want)
+
+
+class TestErode:
+    @pytest.mark.parametrize("k", [3, 10])
+    def test_matches_cv2(self, rng, k):
+        mask = (rng.random((64, 80)) > 0.4).astype(np.uint8)
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+        want = cv2.erode(mask, kernel, iterations=1) > 0
+        got = np.asarray(erode(jnp.asarray(mask > 0), k))
+        np.testing.assert_array_equal(got, want)
+
+    def test_blob_shrinks(self, rng):
+        mask = np.zeros((60, 60), bool)
+        mask[10:50, 10:50] = True
+        out = np.asarray(erode(jnp.asarray(mask), 10))
+        assert out.sum() < mask.sum()
+        assert out[30, 30]  # interior survives
+        assert not out[10, 10]  # corner eroded
+
+
+class TestCropResize:
+    @pytest.mark.parametrize("method,cv2_interp", [
+        ("lanczos4", cv2.INTER_LANCZOS4),
+        ("bilinear", cv2.INTER_LINEAR),
+    ])
+    def test_matches_cv2_crop_resize(self, rng, method, cv2_interp):
+        img = make_image(rng)
+        boxes = np.array([[40, 30, 140, 130], [5, 5, 69, 69], [200, 100, 311, 211]])
+        out = np.asarray(crop_resize(jnp.asarray(img, jnp.float32), jnp.asarray(boxes),
+                                     out_size=64, method=method))
+        for i, (x0, y0, x1, y1) in enumerate(boxes):
+            want = cv2.resize(img[y0:y1, x0:x1], (64, 64), interpolation=cv2_interp)
+            diff = np.abs(out[i].astype(np.int32) - want.astype(np.int32))
+            # cv2 uses fixed-point arithmetic; allow small rounding deltas but
+            # demand near-exact agreement on the vast majority of pixels.
+            assert np.mean(diff <= 1) > 0.99, f"box {i}: mean|diff|={diff.mean()}"
+            assert diff.mean() < 0.5
+
+    def test_upscale_small_box(self, rng):
+        img = make_image(rng)
+        boxes = np.array([[100, 100, 120, 120]])  # 20px -> 64px upscale
+        out = np.asarray(crop_resize(jnp.asarray(img, jnp.float32), jnp.asarray(boxes),
+                                     out_size=64, method="lanczos4"))
+        want = cv2.resize(img[100:120, 100:120], (64, 64), interpolation=cv2.INTER_LANCZOS4)
+        diff = np.abs(out[0].astype(np.int32) - want.astype(np.int32))
+        assert np.mean(diff <= 2) > 0.99
+
+    def test_border_box(self, rng):
+        # Box flush with image borders: replicate-fold must keep values sane.
+        img = make_image(rng)
+        boxes = np.array([[0, 0, 64, 64], [320 - 64, 240 - 64, 320, 240]])
+        out = np.asarray(crop_resize(jnp.asarray(img, jnp.float32), jnp.asarray(boxes),
+                                     out_size=32, method="lanczos4"))
+        for i, (x0, y0, x1, y1) in enumerate(boxes):
+            want = cv2.resize(img[y0:y1, x0:x1], (32, 32), interpolation=cv2.INTER_LANCZOS4)
+            diff = np.abs(out[i].astype(np.int32) - want.astype(np.int32))
+            assert diff.mean() < 1.0
+
+    def test_zero_box_is_finite(self, rng):
+        img = make_image(rng)
+        out = np.asarray(crop_resize(jnp.asarray(img, jnp.float32),
+                                     jnp.asarray([[0, 0, 0, 0]]), out_size=16))
+        assert np.isfinite(out).all()
+
+    def test_with_mask_matches_reference_pipeline(self, rng):
+        """Full reference recipe: resize crop + resize mask, multiply.
+        (pose_predictor.py:139-149 with {0,255} mask.)"""
+        img = make_image(rng)
+        mask = np.zeros((240, 320), np.uint8)
+        mask[50:120, 60:130] = 255
+        boxes = np.array([[40, 30, 140, 130]])
+        got = np.asarray(crop_resize_with_mask(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask, jnp.float32),
+            jnp.asarray(boxes), out_size=64))
+        x0, y0, x1, y1 = boxes[0]
+        ic = cv2.resize(img[y0:y1, x0:x1], (64, 64), interpolation=cv2.INTER_LANCZOS4)
+        mc = cv2.resize(mask[y0:y1, x0:x1], (64, 64), interpolation=cv2.INTER_LANCZOS4)
+        want = ic * (mc.reshape(64, 64, 1) / 255.0)
+        assert np.abs(got[0] - want).mean() < 1.0
+
+    def test_resize_image_matches_cv2(self, rng):
+        small = rng.integers(0, 256, size=(40, 60)).astype(np.uint8)
+        got = np.asarray(resize_image(jnp.asarray(small, jnp.float32), 120, 180,
+                                      method="bilinear"))
+        want = cv2.resize(small, (180, 120), interpolation=cv2.INTER_LINEAR).astype(np.float32)
+        assert np.abs(got - want).mean() < 0.6
+
+
+class TestMaskedDepthValue:
+    def _oracle(self, boxes, depth, seg_mask, near, far, ksize=10, min_px=50):
+        """Transliteration of image_manipulation.py:39-96 with cv2."""
+        depth = depth.copy()
+        good = np.logical_and(depth > near, depth < far)
+        seg = np.logical_and(seg_mask > 128, good)
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ksize, ksize))
+        seg = cv2.erode(seg.astype(np.uint8), kernel, iterations=1) > 0
+        vals, rel = [], []
+        for (x0, y0, x1, y1) in boxes:
+            crop = depth[y0:y1, x0:x1]
+            m = seg[y0:y1, x0:x1]
+            good_d = crop[m]
+            rel.append(good_d.shape[0] >= min_px)
+            vals.append(0.0 if good_d.shape[0] == 0 else good_d.mean())
+        return np.array(vals), np.array(rel)
+
+    def test_matches_reference_oracle(self, rng):
+        h, w = 120, 160
+        depth = rng.uniform(0.0, 3.5, size=(h, w)).astype(np.float32)
+        seg = np.zeros((h, w), np.uint8)
+        seg[20:80, 30:100] = 255
+        seg[90:110, 120:150] = 255
+        boxes = np.array([[25, 15, 105, 85], [115, 85, 155, 115], [0, 0, 10, 10]])
+        got_v, got_r = (np.asarray(x) for x in masked_depth_value(
+            jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(seg),
+            near_plane=0.1, far_plane=2.5))
+        want_v, want_r = self._oracle(boxes, depth, seg, 0.1, 2.5)
+        np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(got_r, want_r)
+
+    def test_reliability_threshold_exact(self, rng):
+        """Exactly 50 pixels is reliable; 49 is not (image_manipulation.py:76)."""
+        h, w = 64, 64
+        depth = np.full((h, w), 1.0, np.float32)
+        for npix, want in [(49, False), (50, True)]:
+            seg = np.zeros((h, w), np.uint8)
+            # Erosion with ksize 10 shrinks; build a big blob then count after.
+            seg[10:50, 10:50] = 255
+            m = cv2.erode((seg > 128).astype(np.uint8),
+                          cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (10, 10))) > 0
+            ys, xs = np.where(m)
+            keep = np.zeros_like(m)
+            keep[ys[:npix], xs[:npix]] = True
+            # Feed a depth that is masked by keep via the band trick:
+            d = np.where(keep, 1.0, 5.0).astype(np.float32)  # 5.0 out of band
+            v, r = masked_depth_value(
+                jnp.asarray([[0, 0, 64, 64]]), jnp.asarray(d), jnp.asarray(seg),
+                near_plane=0.1, far_plane=3.0)
+            # NB: the band is applied pre-erosion, so recompute oracle directly:
+            ov, orl = self._oracle(np.array([[0, 0, 64, 64]]), d, seg, 0.1, 3.0)
+            np.testing.assert_allclose(np.asarray(v), ov, rtol=1e-5)
+            np.testing.assert_array_equal(np.asarray(r), orl)
+
+    def test_empty_box(self):
+        depth = np.ones((32, 32), np.float32)
+        seg = np.zeros((32, 32), np.uint8)
+        v, r = masked_depth_value(jnp.asarray([[0, 0, 0, 0]]), jnp.asarray(depth),
+                                  jnp.asarray(seg))
+        assert float(v[0]) == 0.0 and not bool(r[0])
+
+
+class TestNMS:
+    def _oracle(self, boxes, scores, iou_th):
+        idxs = np.argsort(-scores)
+        keep = np.zeros(len(boxes), bool)
+        alive = list(idxs)
+        while alive:
+            i = alive.pop(0)
+            keep[i] = True
+            rest = []
+            for j in alive:
+                iou = np.asarray(iou_matrix(jnp.asarray(boxes[i][None]),
+                                            jnp.asarray(boxes[j][None])))[0, 0]
+                if iou <= iou_th:
+                    rest.append(j)
+            alive = rest
+        return keep
+
+    def test_matches_greedy_oracle(self, rng):
+        for _ in range(5):
+            n = 24
+            xy = rng.uniform(0, 200, size=(n, 2))
+            wh = rng.uniform(10, 80, size=(n, 2))
+            boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+            scores = rng.uniform(0, 1, size=n).astype(np.float32)
+            got = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                 jnp.ones(n, bool), iou_threshold=0.5))
+            want = self._oracle(boxes, scores, 0.5)
+            np.testing.assert_array_equal(got, want)
+
+    def test_invalid_lanes_never_kept(self, rng):
+        boxes = rng.uniform(0, 100, size=(8, 4)).astype(np.float32)
+        scores = rng.uniform(0, 1, size=8).astype(np.float32)
+        valid = np.array([True] * 4 + [False] * 4)
+        got = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(scores),
+                             jnp.asarray(valid), iou_threshold=0.5))
+        assert not got[4:].any()
+
+    def test_identical_boxes_keep_best(self):
+        boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (3, 1))
+        scores = np.array([0.3, 0.9, 0.5], np.float32)
+        got = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(scores),
+                             jnp.ones(3, bool), iou_threshold=0.5))
+        assert got.tolist() == [False, True, False]
