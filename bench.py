@@ -1,0 +1,97 @@
+"""Benchmark: end-to-end flower-pose throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the fused detector-tail pipeline (boxes+mask -> masked crops ->
+PoseNet -> Procrustes -> depth-lifted poses) on 1080p frames with MAX_DET=16
+flowers each — crops/sec/chip, against the BASELINE.json north-star target of
+5000 crops/sec/chip (the reference publishes no numbers; SURVEY.md §6).
+
+Runs on whatever backend jax picks (the real TPU under the driver); pass
+--cpu to force the CPU backend for a quick sanity run.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--frames", type=int, default=32, help="frames per timed batch")
+    ap.add_argument("--iters", type=int, default=5, help="timed iterations")
+    ap.add_argument("--max-det", type=int, default=16)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--crop", type=int, default=512)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.frames = min(args.frames, 2)
+        args.height, args.width = 270, 480
+        args.crop = 64
+    import jax.numpy as jnp
+
+    from flope_tpu.data.synthetic import SyntheticScene, render_frame, orbit_camera
+    from flope_tpu.models import init_posenet
+    from flope_tpu.pipeline import PipelineConfig, predict_frames
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    scene = SyntheticScene.random(rng, n_flowers=12, height=args.height,
+                                  width=args.width)
+    frames = [render_frame(scene, orbit_camera(scene, 0.15 * i),
+                           max_det=args.max_det) for i in range(args.frames)]
+    cfg = PipelineConfig(
+        max_det=args.max_det, crop_size=args.crop,
+        model_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop,
+                                dtype=cfg.model_dtype)
+
+    batch = (
+        jnp.asarray(np.stack([f.rgb for f in frames]), jnp.float32),
+        jnp.asarray(np.stack([f.depth_mm for f in frames])),
+        jnp.asarray(np.stack([f.boxes for f in frames])),
+        jnp.asarray(np.stack([f.valid for f in frames])),
+        jnp.asarray(np.stack([f.mask for f in frames])),
+    )
+    K = jnp.asarray(scene.K, jnp.float32)
+    batch = jax.device_put(batch, dev)
+
+    # Compile + warm up. NOTE: block_until_ready does not actually block
+    # through this environment's remote-execution relay, so timing uses a
+    # forced host readback of a scalar that depends on the result; chained
+    # dispatches execute in order on the device stream, so one final fetch
+    # fences all iterations.
+    def run_and_reduce(variables, batch, K):
+        pred = predict_frames(variables, *batch, K, cfg)
+        return jnp.sum(pred.poses) + jnp.sum(pred.depth)
+
+    run = jax.jit(run_and_reduce, static_argnames=())
+    float(run(variables, batch, K))  # compile + warm
+    float(run(variables, batch, K))  # steady-state warm
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.iters):
+        out = run(variables, batch, K)
+    float(out)  # single fence for the whole chain
+    dt = (time.perf_counter() - t0) / args.iters
+    crops_per_sec = args.frames * args.max_det / dt
+    baseline = 5000.0  # BASELINE.json north star: >=5k crops/sec/chip
+    print(json.dumps({
+        "metric": "detect_tail_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 1),
+        "unit": "crops/s",
+        "vs_baseline": round(crops_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -177,6 +177,29 @@ def render_frame(scene: SyntheticScene, cam_pose: np.ndarray, max_det: int = 16,
     )
 
 
+def render_flower_crop(R_cam: np.ndarray, size: int = 512,
+                       fill: float = 0.85) -> np.ndarray:
+    """Render one masked flower crop (the PoseNet training-sample format:
+    512^2 bg-zeroed crops, dataset/posenet_flower_dataset.py) with the same
+    orientation shading as `render_frame`, so crop-trained PoseNets transfer
+    to full scenes. Returns (size, size, 3) uint8."""
+    u = v = size / 2.0
+    r_px = fill * size / 2.0
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    disc = (xs - u) ** 2 + (ys - v) ** 2 < r_px ** 2
+    ax = R_cam[:2, 0]
+    ax_norm = ax / max(np.linalg.norm(ax), 1e-6)
+    dxp, dyp = (xs - u) / r_px, (ys - v) / r_px
+    rad = np.sqrt(dxp**2 + dyp**2) + 1e-6
+    cosang = (dxp * ax_norm[0] + dyp * ax_norm[1]) / rad
+    tilt = float(R_cam[2, 2])
+    rgb = np.zeros((size, size, 3), np.float32)
+    rgb[..., 0] = np.where(disc, 128 + 100 * cosang, 0)
+    rgb[..., 1] = np.where(disc, 128 + 100 * tilt * (1 - rad.clip(0, 1)), 0)
+    rgb[..., 2] = np.where(disc, 230 - 60 * rad.clip(0, 1), 0)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
 def write_dataset(out_dir: str | Path, n_frames: int = 20, n_flowers: int = 5,
                   seed: int = 0, height: int = 480, width: int = 640,
                   max_det: int = 16) -> Path:

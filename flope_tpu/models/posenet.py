@@ -52,8 +52,11 @@ class PoseNet(nn.Module):
 
 def init_posenet(rng: jax.Array, image_size: int = 512, dtype=jnp.float32,
                  dropout: float = 0.5):
-    """Convenience initializer returning (model, variables)."""
+    """Convenience initializer returning (model, variables). Init is jitted so
+    it compiles once (and lands in the persistent compilation cache) instead
+    of dispatching every layer eagerly."""
     model = PoseNet(dtype=dtype, dropout=dropout)
-    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)),
-                           train=False)
-    return model, variables
+    init = jax.jit(lambda r: model.init(r, jnp.zeros((1, image_size,
+                                                      image_size, 3)),
+                                        train=False))
+    return model, init(rng)

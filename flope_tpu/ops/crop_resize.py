@@ -118,16 +118,24 @@ def crop_resize(image: jax.Array, boxes: jax.Array, out_size: int = 512,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "method", "quantize_uint8"))
+@functools.partial(jax.jit, static_argnames=("out_size", "method",
+                                             "quantize_uint8", "region_size"))
 def crop_resize_with_mask(image: jax.Array, mask: jax.Array, boxes: jax.Array,
                           out_size: int = 512, method: str = "lanczos4",
-                          quantize_uint8: bool = True) -> jax.Array:
+                          quantize_uint8: bool = True,
+                          region_size: int | None = None) -> jax.Array:
     """The reference's crop pipeline (pose_predictor.py:139-149), fused:
 
     resize(image crop) * (resize(mask crop) / 255), both Lanczos4, where mask
     is the {0,255} uint8 segmentation image. Returns (N, out, out, C) floats
     in [0, 255] (background-zeroed crops, NOT yet /255-normalized — the model
     input normalization divides by 255 exactly like pose_predictor.py:151).
+
+    region_size: if set, each box first dynamic-slices a (region, region)
+    window around itself and the sampling matmuls contract over `region`
+    instead of the full frame axis — a ~2-3x FLOP cut at 1080p. Exact as long
+    as every box fits in the window (boxes larger than region_size get their
+    overhang replicated from the window edge). None = exact full-frame path.
     """
     image = image.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
@@ -135,11 +143,31 @@ def crop_resize_with_mask(image: jax.Array, mask: jax.Array, boxes: jax.Array,
     b = boxes.astype(jnp.float32)
     xsize = jnp.maximum(b[:, 2] - b[:, 0], 1e-3)
     ysize = jnp.maximum(b[:, 3] - b[:, 1], 1e-3)
-    wy = sampling_weights(b[:, 1], ysize, out_size, h, method)
-    wx = sampling_weights(b[:, 0], xsize, out_size, w, method)
     stacked = jnp.concatenate([image, mask[..., None]], axis=-1)  # (H,W,C+1)
-    tmp = jnp.einsum("niy,ywc->niwc", wy, stacked, preferred_element_type=jnp.float32)
-    out = jnp.einsum("njw,niwc->nijc", wx, tmp, preferred_element_type=jnp.float32)
+
+    if region_size is not None and region_size < min(h, w):
+        r = region_size
+        # Window origin: center the box, clamp into the frame (dynamic_slice
+        # clamps too, but we need the actual origin for weight coordinates).
+        cx = (b[:, 0] + b[:, 2]) / 2.0
+        cy = (b[:, 1] + b[:, 3]) / 2.0
+        rx = jnp.clip(jnp.round(cx - r / 2.0), 0, w - r).astype(jnp.int32)
+        ry = jnp.clip(jnp.round(cy - r / 2.0), 0, h - r).astype(jnp.int32)
+        regions = jax.vmap(
+            lambda y0, x0: jax.lax.dynamic_slice(stacked, (y0, x0, 0),
+                                                 (r, r, stacked.shape[-1]))
+        )(ry, rx)  # (N, r, r, C+1)
+        wy = sampling_weights(b[:, 1] - ry, ysize, out_size, r, method)
+        wx = sampling_weights(b[:, 0] - rx, xsize, out_size, r, method)
+        tmp = jnp.einsum("niy,nywc->niwc", wy, regions,
+                         preferred_element_type=jnp.float32)
+    else:
+        wy = sampling_weights(b[:, 1], ysize, out_size, h, method)
+        wx = sampling_weights(b[:, 0], xsize, out_size, w, method)
+        tmp = jnp.einsum("niy,ywc->niwc", wy, stacked,
+                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("njw,niwc->nijc", wx, tmp,
+                     preferred_element_type=jnp.float32)
     if quantize_uint8:
         out = _quantize(out)
     img_rs, mask_rs = out[..., :-1], out[..., -1:]

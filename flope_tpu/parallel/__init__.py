@@ -1,0 +1,9 @@
+"""Device-mesh parallelism: stream/data/model axes over ICI via GSPMD."""
+
+from flope_tpu.parallel.mesh import (
+    make_mesh,
+    stream_sharding,
+    replicated,
+    shard_batch,
+    P,
+)

@@ -59,6 +59,9 @@ class PipelineConfig:
     min_depth_pixels: int = 50
     erode_ksize: int = 10
     model_dtype: Any = jnp.float32
+    # Crop windows slice a fixed region around each box before the sampling
+    # matmuls (FLOP cut; exact while boxes fit). None = exact full-frame path.
+    crop_region: int | None = 768
 
     def teacher(self) -> "PipelineConfig":
         return dataclasses.replace(self, depth_scale=1.0 / 10000.0, filter_large=True)
@@ -113,6 +116,7 @@ def predict_frame(
     crops = crop_resize_with_mask(
         rgb.astype(jnp.float32), seg_mask.astype(jnp.float32), sq,
         out_size=config.crop_size, method=config.resize_method,
+        region_size=config.crop_region,
     ) / 255.0
 
     # 7. PoseNet -> Procrustes -> yaw-nullify (pose_predictor.py:156-161).

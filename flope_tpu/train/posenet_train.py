@@ -1,0 +1,248 @@
+"""PoseNet training: pjit data-parallel, reference-faithful loss + metrics.
+
+Reference training recipe (scripts/train_posenet.py:17-26,172-208): 500
+epochs, batch 64, Adadelta lr=1e-3 (the StepLR is created but never stepped —
+LR is effectively constant, so no schedule here either), seed 0, loss =
+"chordal distance" MSE between GT and Procrustes-projected predicted rotation
+matrices (train_posenet.py:40-41), metric = mean quaternion geodesic angle
+(diff_quats), checkpoint every epoch, log line per epoch.
+
+TPU-native deltas (recorded, not silent):
+* data parallelism over a ('data','model') mesh with optional tensor-parallel
+  sharding of the wide head (the reference is single-GPU);
+* AdamW available as the recommended optimizer (`optimizer='adamw'`), Adadelta
+  kept as the parity default;
+* orbax checkpoints carry params + batch_stats + optimizer state + step
+  (the reference saved bare model weights only, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax.struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flope_tpu.geometry import rotmat_to_quat, quat_angle_deg
+from flope_tpu.models.posenet import PoseNet
+
+__all__ = ["TrainConfig", "TrainState", "chordal_loss", "angle_error_deg",
+           "make_optimizer", "create_train_state", "make_train_step",
+           "make_eval_step", "train_posenet", "param_shardings"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Defaults mirror scripts/train_posenet.py:17-26."""
+
+    epochs: int = 500
+    batch_size: int = 64
+    lr: float = 1e-3
+    seed: int = 0
+    optimizer: str = "adadelta"  # parity default; 'adamw' recommended on TPU
+    weight_decay: float = 0.0
+    image_size: int = 512
+    dropout: float = 0.5
+    model_dtype: Any = jnp.float32
+    ckpt_dir: str | None = "weights"
+    log_path: str | None = "posenet_train.jsonl"
+    mesh_axes: tuple[str, ...] = ("data", "model")
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def chordal_loss(R_pred: jax.Array, R_gt: jax.Array) -> jax.Array:
+    """MSE over rotation-matrix elements ("chordal distance",
+    train_posenet.py:40-41 — torch F.mse_loss mean over all elements)."""
+    return jnp.mean((R_pred - R_gt) ** 2)
+
+
+def angle_error_deg(R_pred: jax.Array, R_gt: jax.Array) -> jax.Array:
+    """Mean quaternion geodesic angle (train_posenet.py:134-137)."""
+    return jnp.mean(quat_angle_deg(rotmat_to_quat(R_pred), rotmat_to_quat(R_gt)))
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    if config.optimizer == "adadelta":
+        return optax.adadelta(learning_rate=config.lr)
+    if config.optimizer == "adamw":
+        return optax.adamw(learning_rate=config.lr,
+                           weight_decay=config.weight_decay)
+    raise ValueError(f"unknown optimizer {config.optimizer!r}")
+
+
+def param_shardings(mesh, variables):
+    """Tensor-parallel rules for the wide head; everything else replicated.
+
+    fc kernel (512, 2048) splits its output features over 'model'; fc_rot
+    kernel (2048, 9) splits its input features — the activation between them
+    stays sharded and XLA inserts one psum for the 9-d output.
+    """
+    has_model = "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1
+
+    def rule(path, x):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        joined = "/".join(str(k) for k in keys)
+        if has_model and x.ndim >= 1:
+            if joined.endswith("fc/kernel"):
+                return NamedSharding(mesh, P(None, "model"))
+            if joined.endswith("fc/bias"):
+                return NamedSharding(mesh, P("model"))
+            if joined.endswith("fc_rot/kernel"):
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, variables)
+
+
+def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[PoseNet, TrainState]:
+    model = PoseNet(dtype=config.model_dtype, dropout=config.dropout)
+    variables = model.init(rng, jnp.zeros((1, config.image_size,
+                                           config.image_size, 3)), train=False)
+    tx = make_optimizer(config)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state
+
+
+def make_train_step(model: PoseNet, tx: optax.GradientTransformation, mesh=None):
+    """Returns a jitted (state, images, rot_gt, rng) -> (state, metrics) step.
+
+    With a mesh, the batch is sharded over 'data' and gradients reduce via
+    GSPMD-inserted psums over ICI.
+    """
+
+    def step(state: TrainState, images, rot_gt, dropout_rng):
+        if mesh is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, P("data")))
+            rot_gt = jax.lax.with_sharding_constraint(
+                rot_gt, NamedSharding(mesh, P("data")))
+
+        def loss_fn(params):
+            r9, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"])
+            R = PoseNet.to_rotmats(r9)
+            loss = chordal_loss(R, rot_gt)
+            return loss, (R, updates["batch_stats"])
+
+        (loss, (R, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "angle_deg": angle_error_deg(R, rot_gt)}
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt, step=state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model: PoseNet, mesh=None):
+    def step(state: TrainState, images, rot_gt):
+        if mesh is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, P("data")))
+        r9 = model.apply({"params": state.params,
+                          "batch_stats": state.batch_stats},
+                         images, train=False)
+        R = PoseNet.to_rotmats(r9)
+        return {"loss": chordal_loss(R, rot_gt),
+                "angle_deg": angle_error_deg(R, rot_gt)}
+
+    return jax.jit(step)
+
+
+def _batches(rng: np.random.Generator, n: int, batch_size: int, shuffle: bool):
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    for s in range(0, n - batch_size + 1, batch_size):
+        yield idx[s:s + batch_size]
+
+
+def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
+                  epochs: int | None = None, log_fn=print):
+    """Full training loop.
+
+    train_data/eval_data: dicts with 'images' (N,S,S,3) float [0,1] and
+    'rotations' (N,3,3) — see flope_tpu.data.posenet_dataset loaders.
+    Returns (model, final TrainState, history list).
+    """
+    epochs = config.epochs if epochs is None else epochs
+    rng = jax.random.PRNGKey(config.seed)
+    np_rng = np.random.default_rng(config.seed)
+    model, state = create_train_state(config, rng)
+    tx = make_optimizer(config)
+    train_step = make_train_step(model, tx, mesh)
+    eval_step = make_eval_step(model, mesh)
+
+    ckptr = None
+    if config.ckpt_dir is not None:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        Path(config.ckpt_dir).mkdir(parents=True, exist_ok=True)
+
+    history = []
+    n = train_data["images"].shape[0]
+    for epoch in range(epochs):
+        t0 = time.time()
+        tr_loss, tr_ang = [], []
+        for bidx in _batches(np_rng, n, min(config.batch_size, n), shuffle=True):
+            rng, drng = jax.random.split(rng)
+            state, m = train_step(
+                state,
+                jnp.asarray(train_data["images"][bidx]),
+                jnp.asarray(train_data["rotations"][bidx]),
+                drng)
+            tr_loss.append(float(m["loss"]))
+            tr_ang.append(float(m["angle_deg"]))
+        rec = {"epoch": epoch,
+               "train_loss": float(np.mean(tr_loss)),
+               "train_angle": float(np.mean(tr_ang)),
+               "sec": time.time() - t0}
+        if eval_data is not None:
+            ev_loss, ev_ang = [], []
+            ne = eval_data["images"].shape[0]
+            for bidx in _batches(np_rng, ne, min(config.batch_size, ne), shuffle=False):
+                m = eval_step(state,
+                              jnp.asarray(eval_data["images"][bidx]),
+                              jnp.asarray(eval_data["rotations"][bidx]))
+                ev_loss.append(float(m["loss"]))
+                ev_ang.append(float(m["angle_deg"]))
+            rec["eval_loss"] = float(np.mean(ev_loss))
+            rec["eval_angle"] = float(np.mean(ev_ang))
+        history.append(rec)
+        # Reference log line: "epoch train_loss train_angle eval_loss eval_angle"
+        # (train_posenet.py:182-185), persisted as JSONL here.
+        if config.log_path:
+            with open(config.log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        log_fn(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in rec.items() if k != "epoch"))
+        if ckptr is not None:
+            path = Path(config.ckpt_dir).absolute() / f"posenet_e{epoch}"
+            ckptr.save(path, {"params": state.params,
+                              "batch_stats": state.batch_stats,
+                              "opt_state": state.opt_state,
+                              "step": state.step}, force=True)
+    if ckptr is not None:
+        ckptr.wait_until_finished()
+    return model, state, history

@@ -1,0 +1,42 @@
+"""Checkpoint helpers: orbax save/load + torch .pth import.
+
+The reference checkpoints bare state_dicts per epoch (train_posenet.py:186);
+here checkpoints carry params + batch_stats + optimizer state + step
+(SURVEY.md §5.4's prescribed upgrade) via orbax, with a loader that also
+accepts the reference's torch .pth files (converted on the fly).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+__all__ = ["save_ckpt", "load_ckpt", "load_posenet_ckpt"]
+
+
+def save_ckpt(path, tree) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(path).absolute(), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_ckpt(path):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).absolute())
+
+
+def load_posenet_ckpt(path) -> dict:
+    """Load PoseNet inference variables from either an orbax dir or a torch
+    .pth state_dict (the reference's format, pose_predictor.py:52)."""
+    p = Path(path)
+    if p.suffix == ".pth":
+        import torch
+
+        from flope_tpu.models.torch_convert import posenet_variables_from_torch
+        sd = torch.load(p, map_location="cpu", weights_only=True)
+        return posenet_variables_from_torch(sd)
+    tree = load_ckpt(p)
+    return {"params": tree["params"], "batch_stats": tree["batch_stats"]}

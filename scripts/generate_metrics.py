@@ -1,0 +1,65 @@
+"""Evaluation harness CLI (reference: scripts/generate_metrics.py).
+
+Scores the pipeline with the reference's metric suite (detection success +
+px error, rotation angle error, translation error, pose success rate, DICE)
+on the synthetic ground-truth world. --detector gt isolates the pose branch
+(both reference branches share the same PoseNet, generate_metrics.py:222-233);
+--detector yolo evaluates the full student stack.
+"""
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--posenet-ckpt", default=None)
+    ap.add_argument("--detector", choices=["gt", "yolo"], default="gt")
+    ap.add_argument("--yolo-ckpt", default=None)
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--flowers", type=int, default=5)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--crop", type=int, default=512)
+    ap.add_argument("--max-det", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from flope_tpu.eval import EvalConfig, evaluate_pipeline
+    from flope_tpu.models import init_posenet
+    from flope_tpu.pipeline import PipelineConfig
+    from flope_tpu.utils.checkpoint import load_posenet_ckpt
+
+    _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop)
+    if args.posenet_ckpt:
+        variables = load_posenet_ckpt(args.posenet_ckpt)
+
+    detector = None
+    if args.detector == "yolo":
+        from flope_tpu.models.yolo import init_yolo
+        from flope_tpu.pipeline.detector import YoloJaxDetector
+        _, yolo_v = init_yolo(jax.random.PRNGKey(1))
+        if args.yolo_ckpt:
+            from flope_tpu.utils.checkpoint import load_ckpt
+            yolo_v = load_ckpt(args.yolo_ckpt)
+        detector = YoloJaxDetector(yolo_v, max_det=args.max_det)
+
+    cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop)
+    summary = evaluate_pipeline(
+        variables, cfg,
+        EvalConfig(n_frames=args.frames, n_flowers=args.flowers,
+                   height=args.height, width=args.width, seed=args.seed,
+                   max_det=args.max_det, log_path=args.log),
+        detector=detector)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

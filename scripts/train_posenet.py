@@ -1,0 +1,61 @@
+"""Train PoseNet (reference: scripts/train_posenet.py).
+
+Defaults mirror the reference exactly (500 epochs, batch 64, Adadelta lr 1e-3,
+seed 0, 80/20 sorted split, per-epoch checkpoints + log line). Data comes from
+a reference-layout crops dir (--data-dir) or the synthetic factory
+(--synthetic N).
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="train on N synthetic crops instead of a dataset dir")
+    ap.add_argument("--epochs", type=int, default=500)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--optimizer", default="adadelta",
+                    choices=["adadelta", "adamw"])
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt-dir", default="weights")
+    ap.add_argument("--log", default="posenet_train.jsonl")
+    ap.add_argument("--dp", type=int, default=1, help="data-parallel devices")
+    ap.add_argument("--tp", type=int, default=1, help="model-parallel devices")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from flope_tpu.data.posenet_dataset import load_crop_dataset, synthetic_crops
+    from flope_tpu.parallel import make_mesh
+    from flope_tpu.train import TrainConfig, train_posenet
+
+    if args.synthetic:
+        train = synthetic_crops(args.synthetic, args.image_size, args.seed)
+        evald = synthetic_crops(max(args.synthetic // 5, 4), args.image_size,
+                                args.seed + 1)
+    else:
+        assert args.data_dir, "need --data-dir or --synthetic N"
+        train = load_crop_dataset(args.data_dir, test=False)
+        evald = load_crop_dataset(args.data_dir, test=True)
+
+    mesh = None
+    if args.dp * args.tp > 1:
+        mesh = make_mesh({"data": args.dp, "model": args.tp})
+
+    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                      lr=args.lr, seed=args.seed, optimizer=args.optimizer,
+                      image_size=args.image_size, ckpt_dir=args.ckpt_dir,
+                      log_path=args.log)
+    train_posenet(cfg, train, evald, mesh=mesh)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""Train the YOLO11-seg flower detector (reference: scripts/train_yolo_seg.py,
+which delegated to ultralytics; here: flope_tpu.train.yolo_train natively)."""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True,
+                    help="YOLO-seg dataset root (from prepare_yolo_data.py)")
+    ap.add_argument("--image-size", type=int, default=640)
+    ap.add_argument("--scale", default="n", choices=["n", "s", "m", "l"])
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--ckpt-dir", default="weights_yolo")
+    ap.add_argument("--log", default="yolo_train.jsonl")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from flope_tpu.data.yolo_labels import load_yolo_seg_dataset
+    from flope_tpu.models.yolo import init_yolo
+    from flope_tpu.train.yolo_train import YoloTrainConfig, make_yolo_train_step
+    from flope_tpu.utils.checkpoint import save_ckpt
+    from flope_tpu.utils.logging import JsonlLogger
+
+    data = load_yolo_seg_dataset(args.data, "train", args.image_size)
+    print(f"train samples: {data['images'].shape[0]}")
+    cfg = YoloTrainConfig(image_size=args.image_size, scale=args.scale,
+                          lr=args.lr)
+    model, variables = init_yolo(jax.random.PRNGKey(0), args.image_size,
+                                 args.scale)
+    tx = optax.adamw(args.lr, weight_decay=cfg.weight_decay)
+    step = make_yolo_train_step(model, tx, cfg)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = tx.init(params)
+    logger = JsonlLogger(args.log, echo=True)
+
+    rng = np.random.default_rng(0)
+    n = data["images"].shape[0]
+    bs = min(args.batch_size, n)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        idx = rng.permutation(n)
+        losses = []
+        for s in range(0, n - bs + 1, bs):
+            b = idx[s:s + bs]
+            params, stats, opt, m = step(
+                params, stats, opt,
+                jnp.asarray(data["images"][b]), jnp.asarray(data["boxes"][b]),
+                jnp.asarray(data["valid"][b]), jnp.asarray(data["masks"][b]))
+            losses.append({k: float(v) for k, v in m.items()})
+        mean = {k: float(np.mean([l[k] for l in losses])) for k in losses[0]}
+        logger.log({"epoch": epoch, **mean, "sec": round(time.time() - t0, 2)})
+        save_ckpt(f"{args.ckpt_dir}/yolo_e{epoch}",
+                  {"params": params, "batch_stats": stats})
+
+
+if __name__ == "__main__":
+    sys.exit(main())

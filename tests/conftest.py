@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is dominated by XLA compiles of the
+# YOLO/ResNet graphs (~40 s each on CPU); cache them across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest

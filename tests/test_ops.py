@@ -112,6 +112,22 @@ class TestCropResize:
         want = ic * (mc.reshape(64, 64, 1) / 255.0)
         assert np.abs(got[0] - want).mean() < 1.0
 
+    def test_region_slice_matches_full_frame(self, rng):
+        """The FLOP-cut windowed path must agree with the exact path up to
+        uint8 rounding ties (different float summation order)."""
+        from flope_tpu.ops import crop_resize_with_mask
+        img = make_image(rng, 480, 640)
+        mask = np.zeros((480, 640), np.uint8)
+        mask[100:400, 100:500] = 255
+        boxes = np.array([[120, 110, 320, 310], [0, 0, 64, 64], [500, 300, 620, 420]])
+        a = np.asarray(crop_resize_with_mask(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask, jnp.float32),
+            jnp.asarray(boxes), out_size=128))
+        b = np.asarray(crop_resize_with_mask(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask, jnp.float32),
+            jnp.asarray(boxes), out_size=128, region_size=256))
+        assert np.abs(a - b).max() <= 1.0
+
     def test_resize_image_matches_cv2(self, rng):
         small = rng.integers(0, 256, size=(40, 60)).astype(np.uint8)
         got = np.asarray(resize_image(jnp.asarray(small, jnp.float32), 120, 180,

@@ -1,0 +1,136 @@
+"""Training tests: loss/metric semantics, learning on synthetic crops,
+data-parallel mesh step, checkpoint round trip, disk dataset round trip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from scipy.spatial.transform import Rotation as sciR
+
+from flope_tpu.data.posenet_dataset import (
+    load_crop_dataset,
+    synthetic_crops,
+    write_crop_dataset,
+)
+from flope_tpu.parallel import make_mesh
+from flope_tpu.train import (
+    TrainConfig,
+    chordal_loss,
+    angle_error_deg,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    make_eval_step,
+    train_posenet,
+)
+
+SMALL = dict(image_size=48, ckpt_dir=None, log_path=None)
+
+
+class TestLossMetrics:
+    def test_chordal_matches_torch_mse_semantics(self, rng):
+        """train_posenet.py:40-41 — mean over ALL matrix elements."""
+        a = rng.normal(size=(8, 3, 3)).astype(np.float32)
+        b = rng.normal(size=(8, 3, 3)).astype(np.float32)
+        got = float(chordal_loss(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, np.mean((a - b) ** 2), rtol=1e-6)
+
+    def test_angle_error_zero_for_identical(self, rng):
+        R = sciR.random(6, random_state=0).as_matrix()
+        err = float(angle_error_deg(jnp.asarray(R), jnp.asarray(R)))
+        assert err < 0.5  # float32 acos noise near 1.0
+
+    def test_angle_error_known_rotation(self):
+        R1 = np.eye(3)[None]
+        R2 = sciR.from_euler("y", 30, degrees=True).as_matrix()[None]
+        err = float(angle_error_deg(jnp.asarray(R1), jnp.asarray(R2)))
+        np.testing.assert_allclose(err, 30.0, atol=0.1)
+
+
+class TestTrainingLearns:
+    def test_loss_and_angle_decrease(self):
+        cfg = TrainConfig(optimizer="adamw", lr=3e-4, batch_size=32,
+                          epochs=4, dropout=0.0, **SMALL)
+        data = synthetic_crops(128, size=cfg.image_size, seed=0)
+        _, _, hist = train_posenet(cfg, data, epochs=4, log_fn=lambda *_: None)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"] * 0.9
+        assert hist[-1]["train_angle"] < hist[0]["train_angle"]
+
+    def test_adadelta_parity_default_runs(self):
+        cfg = TrainConfig(batch_size=16, **SMALL)  # optimizer='adadelta'
+        data = synthetic_crops(32, size=cfg.image_size, seed=1)
+        _, state, hist = train_posenet(cfg, data, epochs=1, log_fn=lambda *_: None)
+        assert np.isfinite(hist[0]["train_loss"])
+        assert int(state.step) == 2  # 32 samples / batch 16
+
+
+class TestMeshTraining:
+    def test_data_parallel_step_runs_on_8_devices(self):
+        mesh = make_mesh({"data": 4, "model": 2})
+        cfg = TrainConfig(optimizer="adamw", batch_size=8, dropout=0.0, **SMALL)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(model, make_optimizer(cfg), mesh)
+        data = synthetic_crops(8, size=cfg.image_size, seed=2)
+        with mesh:
+            state, m = step(state, jnp.asarray(data["images"]),
+                            jnp.asarray(data["rotations"]), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+        assert int(state.step) == 1
+
+    def test_mesh_step_matches_single_device(self):
+        cfg = TrainConfig(optimizer="adamw", batch_size=8, dropout=0.0, **SMALL)
+        data = synthetic_crops(8, size=cfg.image_size, seed=3)
+        outs = []
+        for mesh in [None, make_mesh({"data": 8, "model": 1})]:
+            model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+            step = make_train_step(model, make_optimizer(cfg), mesh)
+            ctx = mesh if mesh is not None else _null_ctx()
+            with ctx:
+                state, m = step(state, jnp.asarray(data["images"]),
+                                jnp.asarray(data["rotations"]),
+                                jax.random.PRNGKey(1))
+            outs.append(float(m["loss"]))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4)
+
+
+class _null_ctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class TestCheckpointRoundtrip:
+    def test_orbax_save_restore(self, tmp_path):
+        import orbax.checkpoint as ocp
+        cfg = TrainConfig(optimizer="adamw", **SMALL)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        tree = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step}
+        ckptr = ocp.StandardCheckpointer()
+        path = tmp_path / "ckpt_e0"
+        ckptr.save(path, tree)
+        ckptr.wait_until_finished()
+        restored = ckptr.restore(path)
+        flat1 = jax.tree_util.tree_leaves(tree)
+        flat2 = jax.tree_util.tree_leaves(restored)
+        assert len(flat1) == len(flat2)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDiskDataset:
+    def test_write_load_roundtrip(self, tmp_path):
+        out = write_crop_dataset(tmp_path / "crops", n=10, size=32, seed=0)
+        train = load_crop_dataset(out, test=False)
+        test = load_crop_dataset(out, test=True)
+        assert train["images"].shape[0] == 8  # 80/20 sorted split
+        assert test["images"].shape[0] == 2
+        assert train["images"].shape[1:] == (32, 32, 3)
+        assert train["images"].max() <= 1.0
+        # Rotations survive the quat round trip.
+        src = synthetic_crops(10, size=32, seed=0)
+        np.testing.assert_allclose(train["rotations"], src["rotations"][:8],
+                                   atol=1e-5)
