@@ -76,7 +76,10 @@ def synthetic_crops(n: int, size: int = 512, seed: int = 0,
         e = sciR.from_matrix(R).as_euler("zyx", degrees=True)
         e[:, 0] = 0.0
         R = sciR.from_euler("zyx", e, degrees=True).as_matrix()
-    images = np.stack([render_flower_crop(R[i], size) for i in range(n)])
+    # fill=1.0 matches the pipeline's squarified boxes, which bound the flower
+    # tightly (render_frame's box = disc extents) — train/test scale parity.
+    images = np.stack([render_flower_crop(R[i], size, fill=1.0)
+                       for i in range(n)])
     t = np.zeros((n, 3))
     t[:, 2] = rng.uniform(0.3, 1.5, size=n)
     # Fake crop intrinsics like the reference's fixed fx=fy=2433, c=size/2

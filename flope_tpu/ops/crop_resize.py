@@ -63,13 +63,34 @@ def sampling_weights(start: jax.Array, size: jax.Array, out_size: int, in_size: 
     start, size: (N,) floats (integer-valued for crop parity). Returns
     (N, out_size, in_size); degenerate boxes produce all-zero rows (finite).
     """
-    kern = _KERNELS[method]
     scale = (size / out_size)[:, None]  # (N,1)
     i = jax.lax.broadcasted_iota(jnp.float32, (1, out_size), 1)
     s = start[:, None] + (i + 0.5) * scale - 0.5  # (N,out) image coords
 
     ye = jax.lax.broadcasted_iota(jnp.float32, (1, 1, in_size), 2)
-    w = kern(s[..., None] - ye)  # (N,out,in) dense taps over the image axis
+    if method == "lanczos4":
+        # Dense L(s - y) evaluation would cost O(N*out*in) transcendentals —
+        # the pipeline's hot spot. Factor them out instead: for integer y,
+        #   sin(pi(s-y))   = (-1)^y sin(pi s)
+        #   sin(pi(s-y)/4) = sin(pi s/4) cos(pi y/4) - cos(pi s/4) sin(pi y/4)
+        # so only O(N*out + in) sin/cos evaluations remain; the (N,out,in)
+        # grid is pure multiply/divide on the VPU.
+        x = s[..., None] - ye                      # (N,out,in)
+        sin_pis = jnp.sin(jnp.pi * s)[..., None]   # (N,out,1)
+        sin_pis4 = jnp.sin(jnp.pi * s / 4.0)[..., None]
+        cos_pis4 = jnp.cos(jnp.pi * s / 4.0)[..., None]
+        y_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, in_size), 2)
+        neg1_y = jnp.where((y_i % 2) == 0, 1.0, -1.0)
+        cos_piy4 = jnp.cos(jnp.pi * ye / 4.0)      # (1,1,in): in-axis constants
+        sin_piy4 = jnp.sin(jnp.pi * ye / 4.0)
+        sin_a = neg1_y * sin_pis                   # sin(pi x)
+        sin_b = sin_pis4 * cos_piy4 - cos_pis4 * sin_piy4  # sin(pi x / 4)
+        x2 = x * x
+        val = 4.0 * sin_a * sin_b / (jnp.pi * jnp.pi * jnp.maximum(x2, 1e-14))
+        val = jnp.where(jnp.abs(x) < 1e-7, 1.0, val)
+        w = jnp.where(jnp.abs(x) < 4.0, val, 0.0)  # (N,out,in)
+    else:
+        w = _KERNELS[method](s[..., None] - ye)
 
     # Box-edge replicate: move weight mass outside [start, start+size) onto the
     # first/last pixel of the box. Taps beyond kernel support are zero anyway.

@@ -1,0 +1,56 @@
+"""End-to-end CLI chain on a synthetic dataset (the reference's offline
+pipeline protocol: test_posenet -> extract_depth -> align_measurements ->
+kalman_filter -> plot_measurements), asserting world-frame recovery."""
+
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run(script, *args):
+    r = subprocess.run([sys.executable, str(REPO / "scripts" / script), *args],
+                       capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_scene")
+    from flope_tpu.data.synthetic import write_dataset
+    write_dataset(out, n_frames=5, n_flowers=3, height=240, width=320, seed=2)
+    return out
+
+
+class TestOfflinePipelineChain:
+    def test_full_chain_recovers_world_positions(self, dataset):
+        d = str(dataset)
+        run("test_posenet.py", "--data-dir", d, "--detector", "mask",
+            "--crop", "64", "--max-det", "8", "--cpu")
+        assert (dataset / "detection" / "frame_00000.txt").exists()
+        run("extract_depth.py", "--data-dir", d)
+        assert (dataset / "depth_val" / "frame_00000.txt").exists()
+        run("align_measurements.py", "--data-dir", d, "--score-th", "2")
+        with open(dataset / "aligned" / "average_poses.pkl", "rb") as f:
+            avg = pickle.load(f)
+        gt = np.load(dataset / "gt_poses.npy")
+        # Every fused flower should sit within ~5 mm of a GT world position.
+        dmin = np.linalg.norm(avg["trans"][:, None] - gt[None, :, :3, 3],
+                              axis=-1).min(axis=1)
+        assert (dmin < 0.005).all(), dmin
+        run("kalman_filter.py", "--data-dir", d)
+        assert (dataset / "aligned" / "measurements_quat_filter.pkl").exists()
+        run("plot_measurements.py", "--data-dir", d)
+        assert (dataset / "vis_gt" / "frame_00000.png").exists()
+
+    def test_vis_and_distribution_tools(self, dataset):
+        run("vis_gt_poses.py", "--data-dir", str(dataset))
+        out = run("get_flower_distribution.py", "--data-dir", str(dataset),
+                  "--min-observations", "2")
+        assert "var[x]" in out
