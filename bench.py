@@ -21,8 +21,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--frames", type=int, default=32, help="frames per timed batch")
-    ap.add_argument("--iters", type=int, default=5, help="timed iterations")
+    ap.add_argument("--frames", type=int, default=16, help="frames per timed batch")
+    ap.add_argument("--iters", type=int, default=10, help="timed iterations")
     ap.add_argument("--max-det", type=int, default=16)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
@@ -36,6 +36,12 @@ def main():
         args.frames = min(args.frames, 2)
         args.height, args.width = 270, 480
         args.crop = 64
+    # Persistent compile cache: first compile through the TPU relay takes
+    # minutes; repeats are seconds.
+    import pathlib
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).parent / ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from flope_tpu.data.synthetic import SyntheticScene, render_frame, orbit_camera

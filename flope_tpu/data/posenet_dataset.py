@@ -63,22 +63,26 @@ def synthetic_crops(n: int, size: int = 512, seed: int = 0,
                     yaw_nullified: bool = True) -> dict:
     """Exact-GT crop dataset from the synthetic flower shader.
 
-    yaw_nullified=True samples rotations with zero zyx-yaw — the function
-    class PoseNet actually has to learn, since the pipeline nullifies yaw
-    (pose_predictor.py:161) and the reference's training data was generated
-    yaw-nullified too (posenet_data_generator.py:418).
+    Crops are rendered with FULL random rotations (including yaw — that's what
+    real frames show), while with yaw_nullified=True the LABELS are the
+    yaw-nullified representatives: exactly the function the pipeline needs,
+    since it yaw-nullifies predictions (pose_predictor.py:161) and the
+    reference's training labels were yaw-nullified too
+    (posenet_data_generator.py:418).
     """
     from scipy.spatial.transform import Rotation as sciR
 
     rng = np.random.default_rng(seed)
-    R = sciR.random(n, random_state=np.random.RandomState(seed)).as_matrix()
+    R_full = sciR.random(n, random_state=np.random.RandomState(seed)).as_matrix()
     if yaw_nullified:
-        e = sciR.from_matrix(R).as_euler("zyx", degrees=True)
+        e = sciR.from_matrix(R_full).as_euler("zyx", degrees=True)
         e[:, 0] = 0.0
         R = sciR.from_euler("zyx", e, degrees=True).as_matrix()
+    else:
+        R = R_full
     # fill=1.0 matches the pipeline's squarified boxes, which bound the flower
     # tightly (render_frame's box = disc extents) — train/test scale parity.
-    images = np.stack([render_flower_crop(R[i], size, fill=1.0)
+    images = np.stack([render_flower_crop(R_full[i], size, fill=1.0)
                        for i in range(n)])
     t = np.zeros((n, 3))
     t[:, 2] = rng.uniform(0.3, 1.5, size=n)

@@ -139,16 +139,10 @@ def render_frame(scene: SyntheticScene, cam_pose: np.ndarray, max_det: int = 16,
         # Rasterize the disc.
         disc = (xs - u) ** 2 + (ys - v) ** 2 < r_px ** 2
         ray_dist = float(np.linalg.norm(t_cam))
-        # Orientation shading: projected x-axis direction + z tilt.
-        ax = R_cam[:2, 0]
-        ax_norm = ax / max(np.linalg.norm(ax), 1e-6)
         dxp, dyp = (xs - u) / max(r_px, 1e-6), (ys - v) / max(r_px, 1e-6)
-        rad = np.sqrt(dxp**2 + dyp**2) + 1e-6
-        cosang = (dxp * ax_norm[0] + dyp * ax_norm[1]) / rad
-        tilt = float(R_cam[2, 2])
-        rgb[..., 0] = np.where(disc, 128 + 100 * cosang, rgb[..., 0])
-        rgb[..., 1] = np.where(disc, 128 + 100 * tilt * (1 - rad.clip(0, 1)), rgb[..., 1])
-        rgb[..., 2] = np.where(disc, 230 - 60 * rad.clip(0, 1), rgb[..., 2])
+        shade = _orientation_shading(R_cam, dxp, dyp)
+        for c in range(3):
+            rgb[..., c] = np.where(disc, shade[..., c], rgb[..., c])
         depth = np.where(disc, ray_dist * 1000.0, depth)  # mm
         mask |= disc
 
@@ -177,6 +171,21 @@ def render_frame(scene: SyntheticScene, cam_pose: np.ndarray, max_det: int = 16,
     )
 
 
+def _orientation_shading(R_cam: np.ndarray, dxp: np.ndarray,
+                         dyp: np.ndarray) -> np.ndarray:
+    """Rotation-encoding disc texture, shared by scene and crop renderers.
+
+    Each disc pixel at local coordinates (u, v) (the flower's own frame) is
+    colored by the camera-frame direction of that surface point:
+    d = u * R[:,0] + v * R[:,1], channels = 128 + 100 * d. This makes the
+    full rotation linearly recoverable from the image (no two rotations
+    produce the same texture), so PoseNet's synthetic task is well-posed.
+    """
+    d = dxp[..., None] * R_cam[:, 0][None, None] \
+        + dyp[..., None] * R_cam[:, 1][None, None]  # (..., 3)
+    return 128.0 + 100.0 * np.clip(d, -1.0, 1.0)
+
+
 def render_flower_crop(R_cam: np.ndarray, size: int = 512,
                        fill: float = 0.85) -> np.ndarray:
     """Render one masked flower crop (the PoseNet training-sample format:
@@ -187,16 +196,9 @@ def render_flower_crop(R_cam: np.ndarray, size: int = 512,
     r_px = fill * size / 2.0
     ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
     disc = (xs - u) ** 2 + (ys - v) ** 2 < r_px ** 2
-    ax = R_cam[:2, 0]
-    ax_norm = ax / max(np.linalg.norm(ax), 1e-6)
     dxp, dyp = (xs - u) / r_px, (ys - v) / r_px
-    rad = np.sqrt(dxp**2 + dyp**2) + 1e-6
-    cosang = (dxp * ax_norm[0] + dyp * ax_norm[1]) / rad
-    tilt = float(R_cam[2, 2])
-    rgb = np.zeros((size, size, 3), np.float32)
-    rgb[..., 0] = np.where(disc, 128 + 100 * cosang, 0)
-    rgb[..., 1] = np.where(disc, 128 + 100 * tilt * (1 - rad.clip(0, 1)), 0)
-    rgb[..., 2] = np.where(disc, 230 - 60 * rad.clip(0, 1), 0)
+    shade = _orientation_shading(R_cam, dxp, dyp)
+    rgb = np.where(disc[..., None], shade, 0.0)
     return np.clip(rgb, 0, 255).astype(np.uint8)
 
 
