@@ -194,20 +194,21 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
     train_step = make_train_step(model, tx, mesh)
     eval_step = make_eval_step(model, mesh)
 
-    # Keep the datasets resident on device and gather batches there: host ->
-    # device transfers per step are the bottleneck on remote-attached TPUs.
-    dev_train = {"images": jax.device_put(jnp.asarray(train_data["images"],
-                                                      jnp.float32)),
-                 "rotations": jax.device_put(jnp.asarray(
-                     train_data["rotations"], jnp.float32))}
-    dev_eval = None
-    if eval_data is not None:
-        dev_eval = {"images": jax.device_put(jnp.asarray(eval_data["images"],
-                                                         jnp.float32)),
-                    "rotations": jax.device_put(jnp.asarray(
-                        eval_data["rotations"], jnp.float32))}
-    gather = jax.jit(lambda d, idx: (jnp.take(d["images"], idx, axis=0),
-                                     jnp.take(d["rotations"], idx, axis=0)))
+    # Keep the datasets resident on device (as uint8 — host -> device
+    # transfers through remote-attached TPUs are slow and 4x matters) and
+    # gather + dequantize batches on device.
+    def to_dev(d):
+        return {"images": jax.device_put(
+                    np.ascontiguousarray((np.asarray(d["images"]) * 255.0)
+                                         .astype(np.uint8))),
+                "rotations": jax.device_put(jnp.asarray(d["rotations"],
+                                                        jnp.float32))}
+
+    dev_train = to_dev(train_data)
+    dev_eval = to_dev(eval_data) if eval_data is not None else None
+    gather = jax.jit(lambda d, idx: (
+        jnp.take(d["images"], idx, axis=0).astype(jnp.float32) / 255.0,
+        jnp.take(d["rotations"], idx, axis=0)))
 
     ckptr = None
     if config.ckpt_dir is not None:
@@ -257,6 +258,16 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
                               "batch_stats": state.batch_stats,
                               "opt_state": state.opt_state,
                               "step": state.step}, force=True)
+            # Track the best-eval checkpoint (the reference only kept
+            # per-epoch snapshots and picked by hand, e.g. posenet_e183).
+            key = "eval_angle" if "eval_angle" in rec else "train_angle"
+            if rec[key] == min(h.get(key, float("inf")) for h in history):
+                ckptr.wait_until_finished()
+                best = Path(config.ckpt_dir).absolute() / "posenet_best"
+                ckptr.save(best, {"params": state.params,
+                                  "batch_stats": state.batch_stats,
+                                  "opt_state": state.opt_state,
+                                  "step": state.step}, force=True)
     if ckptr is not None:
         ckptr.wait_until_finished()
     return model, state, history
