@@ -31,6 +31,10 @@ def main():
     # --crop 512 benches the reference-parity resolution.
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--with-detector", action="store_true",
+                    help="bench the FULL frame->poses graph including the "
+                         "YOLO11-seg detector (throughput is weight-independent)")
+    ap.add_argument("--det-size", type=int, default=640)
     args = ap.parse_args()
 
     import jax
@@ -78,9 +82,24 @@ def main():
     # forced host readback of a scalar that depends on the result; chained
     # dispatches execute in order on the device stream, so one final fetch
     # fences all iterations.
-    def run_and_reduce(variables, batch, K):
-        pred = predict_frames(variables, *batch, K, cfg)
-        return jnp.sum(pred.poses) + jnp.sum(pred.depth)
+    if args.with_detector:
+        from flope_tpu.models.yolo import init_yolo
+        from flope_tpu.pipeline.detector import detect_and_pose
+
+        _, yolo_v = init_yolo(jax.random.PRNGKey(1), image_size=args.det_size,
+                              dtype=cfg.model_dtype)
+
+        def run_and_reduce(variables, batch, K):
+            rgbs, depths = batch[0], batch[1]
+            f = lambda r, d: detect_and_pose(
+                yolo_v, variables, r, d, K, det_size=args.det_size,
+                score_th=0.0, config=cfg)
+            pred = jax.vmap(f)(rgbs, depths)
+            return jnp.sum(pred.poses) + jnp.sum(pred.depth)
+    else:
+        def run_and_reduce(variables, batch, K):
+            pred = predict_frames(variables, *batch, K, cfg)
+            return jnp.sum(pred.poses) + jnp.sum(pred.depth)
 
     run = jax.jit(run_and_reduce, static_argnames=())
     float(run(variables, batch, K))  # compile + warm
@@ -95,13 +114,15 @@ def main():
     crops_per_sec = args.frames * args.max_det / dt
     baseline = 5000.0  # BASELINE.json north star: >=5k crops/sec/chip
     print(json.dumps({
-        "metric": "detect_tail_crops_per_sec_per_chip",
+        "metric": ("detect_to_pose_crops_per_sec_per_chip" if args.with_detector
+                   else "detect_tail_crops_per_sec_per_chip"),
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 3),
         "config": {"crop": args.crop, "frames": args.frames,
                    "max_det": args.max_det, "dtype": args.dtype,
-                   "resolution": f"{args.width}x{args.height}"},
+                   "resolution": f"{args.width}x{args.height}",
+                   "detector": bool(args.with_detector)},
     }))
 
 

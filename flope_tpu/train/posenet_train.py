@@ -179,11 +179,15 @@ def _batches(rng: np.random.Generator, n: int, batch_size: int, shuffle: bool):
 
 
 def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
-                  epochs: int | None = None, log_fn=print):
+                  epochs: int | None = None, log_fn=print,
+                  init_variables: dict | None = None):
     """Full training loop.
 
     train_data/eval_data: dicts with 'images' (N,S,S,3) float [0,1] and
     'rotations' (N,3,3) — see flope_tpu.data.posenet_dataset loaders.
+    init_variables: optional warm-start {'params', 'batch_stats'} (e.g. from
+    load_posenet_ckpt — the reference's WEIGHTS warm start,
+    train_posenet.py:24-25,200-202).
     Returns (model, final TrainState, history list).
     """
     epochs = config.epochs if epochs is None else epochs
@@ -191,6 +195,10 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
     np_rng = np.random.default_rng(config.seed)
     model, state = create_train_state(config, rng)
     tx = make_optimizer(config)
+    if init_variables is not None:
+        state = state.replace(params=init_variables["params"],
+                              batch_stats=init_variables["batch_stats"],
+                              opt_state=tx.init(init_variables["params"]))
     train_step = make_train_step(model, tx, mesh)
     eval_step = make_eval_step(model, mesh)
 

@@ -23,6 +23,8 @@ def main(argv=None):
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default="weights")
+    ap.add_argument("--warm-start", default=None,
+                    help="orbax ckpt dir or torch .pth to initialize from")
     ap.add_argument("--log", default="posenet_train.jsonl")
     ap.add_argument("--dp", type=int, default=1, help="data-parallel devices")
     ap.add_argument("--tp", type=int, default=1, help="model-parallel devices")
@@ -54,7 +56,11 @@ def main(argv=None):
                       lr=args.lr, seed=args.seed, optimizer=args.optimizer,
                       image_size=args.image_size, ckpt_dir=args.ckpt_dir,
                       log_path=args.log)
-    train_posenet(cfg, train, evald, mesh=mesh)
+    init_variables = None
+    if args.warm_start:
+        from flope_tpu.utils.checkpoint import load_posenet_ckpt
+        init_variables = load_posenet_ckpt(args.warm_start)
+    train_posenet(cfg, train, evald, mesh=mesh, init_variables=init_variables)
 
 
 if __name__ == "__main__":
