@@ -357,7 +357,7 @@ def decode_predictions(raw: dict, reg_max: int = 16) -> dict:
 @functools.partial(jax.jit, static_argnames=("max_det", "score_th", "iou_th", "topk"))
 def postprocess(decoded: dict, proto: jax.Array, max_det: int = 16,
                 score_th: float = 0.25, iou_th: float = 0.7,
-                topk: int = 128) -> dict:
+                topk: int = 64) -> dict:
     """Fixed-shape candidate selection + NMS + instance masks. Single image
     (no batch dim on inputs; vmap for batches).
 
