@@ -17,6 +17,8 @@ def main(argv=None):
     ap.add_argument("--posenet-ckpt", default=None)
     ap.add_argument("--detector", choices=["gt", "yolo"], default="gt")
     ap.add_argument("--yolo-ckpt", default=None)
+    ap.add_argument("--det-size", type=int, default=640)
+    ap.add_argument("--score-th", type=float, default=0.25)
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--flowers", type=int, default=5)
     ap.add_argument("--height", type=int, default=480)
@@ -45,11 +47,13 @@ def main(argv=None):
     if args.detector == "yolo":
         from flope_tpu.models.yolo import init_yolo
         from flope_tpu.pipeline.detector import YoloJaxDetector
-        _, yolo_v = init_yolo(jax.random.PRNGKey(1))
+        _, yolo_v = init_yolo(jax.random.PRNGKey(1), image_size=args.det_size)
         if args.yolo_ckpt:
             from flope_tpu.utils.checkpoint import load_ckpt
             yolo_v = load_ckpt(args.yolo_ckpt)
-        detector = YoloJaxDetector(yolo_v, max_det=args.max_det)
+        detector = YoloJaxDetector(yolo_v, det_size=args.det_size,
+                                   max_det=args.max_det,
+                                   score_th=args.score_th)
 
     cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop)
     summary = evaluate_pipeline(

@@ -39,7 +39,7 @@ def main(argv=None):
     from flope_tpu.parallel import make_mesh
     from flope_tpu.train import TrainConfig, train_posenet
 
-    if args.synthetic:
+    if args.synthetic and not args.data_dir:
         train = synthetic_crops(args.synthetic, args.image_size, args.seed)
         evald = synthetic_crops(max(args.synthetic // 5, 4), args.image_size,
                                 args.seed + 1)
@@ -47,6 +47,13 @@ def main(argv=None):
         assert args.data_dir, "need --data-dir or --synthetic N"
         train = load_crop_dataset(args.data_dir, test=False)
         evald = load_crop_dataset(args.data_dir, test=True)
+        if args.synthetic:
+            # Mix in synthetic crops (e.g. 1:1 with a small matched set).
+            import numpy as np
+            syn = synthetic_crops(args.synthetic, args.image_size, args.seed)
+            train = {k: np.concatenate([train[k], syn[k]])
+                     for k in ("images", "rotations", "translations",
+                               "intrinsics")}
 
     mesh = None
     if args.dp * args.tp > 1:

@@ -46,21 +46,34 @@ def main(argv=None):
     opt = tx.init(params)
     logger = JsonlLogger(args.log, echo=True)
 
+    # Device-resident dataset (uint8 images), batches gathered on device —
+    # per-step host uploads through remote-attached TPUs dominate otherwise.
+    dev = {
+        "images": jax.device_put((data["images"] * 255).astype(np.uint8)),
+        "boxes": jax.device_put(jnp.asarray(data["boxes"], jnp.float32)),
+        "valid": jax.device_put(jnp.asarray(data["valid"])),
+        "masks": jax.device_put((data["masks"] > 0.5).astype(np.uint8)),
+    }
+    gather = jax.jit(lambda idx: (
+        jnp.take(dev["images"], idx, 0).astype(jnp.float32) / 255.0,
+        jnp.take(dev["boxes"], idx, 0),
+        jnp.take(dev["valid"], idx, 0),
+        jnp.take(dev["masks"], idx, 0).astype(jnp.float32)))
+
     rng = np.random.default_rng(0)
     n = data["images"].shape[0]
     bs = min(args.batch_size, n)
     for epoch in range(args.epochs):
         t0 = time.time()
         idx = rng.permutation(n)
-        losses = []
+        metrics = []
         for s in range(0, n - bs + 1, bs):
-            b = idx[s:s + bs]
-            params, stats, opt, m = step(
-                params, stats, opt,
-                jnp.asarray(data["images"][b]), jnp.asarray(data["boxes"][b]),
-                jnp.asarray(data["valid"][b]), jnp.asarray(data["masks"][b]))
-            losses.append({k: float(v) for k, v in m.items()})
-        mean = {k: float(np.mean([l[k] for l in losses])) for k in losses[0]}
+            imgs, boxes, valid, masks = gather(jnp.asarray(idx[s:s + bs]))
+            params, stats, opt, m = step(params, stats, opt, imgs, boxes,
+                                         valid, masks)
+            metrics.append(m)
+        mean = {k: float(np.mean([float(m[k]) for m in metrics]))
+                for k in metrics[0]}
         logger.log({"epoch": epoch, **mean, "sec": round(time.time() - t0, 2)})
         save_ckpt(f"{args.ckpt_dir}/yolo_e{epoch}",
                   {"params": params, "batch_stats": stats})
