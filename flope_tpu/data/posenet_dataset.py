@@ -60,7 +60,8 @@ def load_crop_dataset(path: str | Path, test: bool = False,
 
 
 def synthetic_crops(n: int, size: int = 512, seed: int = 0,
-                    yaw_nullified: bool = True) -> dict:
+                    yaw_nullified: bool = True,
+                    box_jitter: float = 0.0) -> dict:
     """Exact-GT crop dataset from the synthetic flower shader.
 
     Crops are rendered with FULL random rotations (including yaw — that's what
@@ -82,8 +83,18 @@ def synthetic_crops(n: int, size: int = 512, seed: int = 0,
         R = R_full
     # fill=1.0 matches the pipeline's squarified boxes, which bound the flower
     # tightly (render_frame's box = disc extents) — train/test scale parity.
-    images = np.stack([render_flower_crop(R_full[i], size, fill=1.0)
-                       for i in range(n)])
+    # box_jitter > 0 randomizes center/scale per crop to emulate imperfect
+    # detector boxes (the fix for real-detector crop misalignment).
+    if box_jitter > 0:
+        offs = rng.uniform(-box_jitter, box_jitter, size=(n, 2))
+        fills = rng.uniform(1.0 - 2 * box_jitter, 1.0 + box_jitter, size=n)
+    else:
+        offs = np.zeros((n, 2))
+        fills = np.ones(n)
+    images = np.stack([
+        render_flower_crop(R_full[i], size, fill=float(fills[i]),
+                           center_offset=(float(offs[i, 0]), float(offs[i, 1])))
+        for i in range(n)])
     t = np.zeros((n, 3))
     t[:, 2] = rng.uniform(0.3, 1.5, size=n)
     # Fake crop intrinsics like the reference's fixed fx=fy=2433, c=size/2

@@ -187,12 +187,16 @@ def _orientation_shading(R_cam: np.ndarray, dxp: np.ndarray,
 
 
 def render_flower_crop(R_cam: np.ndarray, size: int = 512,
-                       fill: float = 0.85) -> np.ndarray:
+                       fill: float = 0.85,
+                       center_offset: tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
     """Render one masked flower crop (the PoseNet training-sample format:
     512^2 bg-zeroed crops, dataset/posenet_flower_dataset.py) with the same
     orientation shading as `render_frame`, so crop-trained PoseNets transfer
-    to full scenes. Returns (size, size, 3) uint8."""
-    u = v = size / 2.0
+    to full scenes. center_offset (fractions of size) shifts the disc off
+    center — box-jitter augmentation emulating imperfect detector boxes.
+    Returns (size, size, 3) uint8."""
+    u = size / 2.0 + center_offset[0] * size
+    v = size / 2.0 + center_offset[1] * size
     r_px = fill * size / 2.0
     ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
     disc = (xs - u) ** 2 + (ys - v) ** 2 < r_px ** 2

@@ -15,6 +15,9 @@ def main(argv=None):
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="train on N synthetic crops instead of a dataset dir")
+    ap.add_argument("--box-jitter", type=float, default=0.0,
+                    help="synthetic crops: random center/scale jitter fraction "
+                         "(emulates imperfect detector boxes)")
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -40,9 +43,10 @@ def main(argv=None):
     from flope_tpu.train import TrainConfig, train_posenet
 
     if args.synthetic and not args.data_dir:
-        train = synthetic_crops(args.synthetic, args.image_size, args.seed)
+        train = synthetic_crops(args.synthetic, args.image_size, args.seed,
+                                box_jitter=args.box_jitter)
         evald = synthetic_crops(max(args.synthetic // 5, 4), args.image_size,
-                                args.seed + 1)
+                                args.seed + 1, box_jitter=args.box_jitter)
     else:
         assert args.data_dir, "need --data-dir or --synthetic N"
         train = load_crop_dataset(args.data_dir, test=False)
@@ -50,7 +54,8 @@ def main(argv=None):
         if args.synthetic:
             # Mix in synthetic crops (e.g. 1:1 with a small matched set).
             import numpy as np
-            syn = synthetic_crops(args.synthetic, args.image_size, args.seed)
+            syn = synthetic_crops(args.synthetic, args.image_size, args.seed,
+                                  box_jitter=args.box_jitter)
             train = {k: np.concatenate([train[k], syn[k]])
                      for k in ("images", "rotations", "translations",
                                "intrinsics")}
