@@ -2,9 +2,24 @@
 
 The reference delegates NMS to ultralytics' postprocessing
 (fast_pose_predictor.py:49 via YOLO()); on TPU we need a static-shape,
-compile-friendly version: scores are pre-sorted, then a sequential greedy
-sweep suppresses overlapping boxes. O(K^2) with K = candidate count (<= a few
-hundred), fully vectorized per step — negligible next to the conv backbone.
+compile-friendly version that produces the exact greedy keep set.
+
+A literal greedy sweep is K sequential steps — latency-bound on TPU (each
+step is a tiny op; round 1 measured it as the detector-path bottleneck).
+Instead we solve the greedy recurrence
+
+    alive[i] = valid[i] and no higher-scored ALIVE box overlaps i
+
+as a fixpoint: iterate alive <- valid & (S @ alive == 0) where S is the
+lower-triangular suppression matrix in score order. Each iteration is one
+KxK matvec (MXU work, fully parallel); the iteration converges to the unique
+fixpoint — which IS the greedy solution — in (longest suppression chain + 1)
+steps, typically 2-3 for real scenes vs K=64 sequential steps before.
+
+Convergence proof sketch: the update f is antitone, and f(a)[i] depends only
+on a[j] for ranks j < i; by induction on rank, any pair of states with
+a = f(b), b = f(a) must be equal, so there are no 2-cycles and the
+even/odd-iterate sandwich collapses onto the fixpoint.
 """
 
 from __future__ import annotations
@@ -42,13 +57,23 @@ def nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     b = boxes[order]
     v = valid[order]
     iou = iou_matrix(b, b)
+    # sup[i, j] = True if higher-ranked j would suppress i (strict lower
+    # triangle of the thresholded IoU matrix, in score order).
+    ranks = jnp.arange(k)
+    sup = ((iou > iou_threshold) & (ranks[None, :] < ranks[:, None])
+           ).astype(jnp.float32)
 
-    def body(i, alive):
-        # If candidate i is still alive, kill all lower-ranked overlaps.
-        suppress = (iou[i] > iou_threshold) & (jnp.arange(k) > i) & alive[i]
-        return alive & ~suppress
+    def cond(carry):
+        alive, prev, it = carry
+        return (it < k) & jnp.any(alive != prev)
 
-    alive = jax.lax.fori_loop(0, k, body, v)
+    def body(carry):
+        alive, _, it = carry
+        hits = sup @ alive.astype(jnp.float32)  # alive suppressors per box
+        return v & (hits == 0), alive, it + 1
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (v, jnp.zeros_like(v), jnp.int32(0)))
     # Scatter back to original order.
     keep = jnp.zeros((k,), bool).at[order].set(alive)
     return keep
