@@ -208,16 +208,25 @@ def render_flower_crop(R_cam: np.ndarray, size: int = 512,
 
 def write_dataset(out_dir: str | Path, n_frames: int = 20, n_flowers: int = 5,
                   seed: int = 0, height: int = 480, width: int = 640,
-                  max_det: int = 16) -> Path:
+                  max_det: int = 16, with_detections: bool = False) -> Path:
     """Write a reference-layout dataset dir (rgb/ depth/ mask/ pose/
     intrinsics.yaml gt_poses.npy bad.txt) — the on-disk contract of
-    DatasetPath (utils/io.py:11-60), consumable by the CLI scripts."""
+    DatasetPath (utils/io.py:11-60), consumable by the CLI scripts.
+
+    with_detections additionally writes detection/ (Nx15 bbox4+uv2+rotmat9,
+    the test_posenet.py:150-161 format) and depth_val/ ((2,N) values +
+    reliable flags, extract_depth.py:50-57 format) from ground truth — a
+    perfect-pipeline stand-in so downstream stages (align_measurements,
+    scene_dataset disk source) can run without inference."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
     scene = SyntheticScene.random(rng, n_flowers, height, width)
     out = Path(out_dir)
-    for sub in ["rgb", "depth", "mask", "pose"]:
+    subs = ["rgb", "depth", "mask", "pose"]
+    if with_detections:
+        subs += ["detection", "depth_val"]
+    for sub in subs:
         (out / sub).mkdir(parents=True, exist_ok=True)
 
     for f in range(n_frames):
@@ -231,6 +240,17 @@ def write_dataset(out_dir: str | Path, n_frames: int = 20, n_flowers: int = 5,
         flat = np.concatenate([frame.cam_pose[:3, :3].reshape(-1),
                                frame.cam_pose[:3, 3]])
         np.savetxt(out / "pose" / f"{name}.txt", flat)
+        if with_detections:
+            v = frame.valid
+            rows = np.concatenate([
+                frame.boxes[v].astype(np.float64),
+                frame.centers_uv[v].astype(np.float64),
+                frame.gt_poses_cam[v, :3, :3].reshape(-1, 9),
+            ], axis=1)
+            np.savetxt(out / "detection" / f"{name}.txt", rows, fmt="%.7f")
+            dval = np.linalg.norm(frame.gt_poses_cam[v, :3, 3], axis=-1)
+            np.savetxt(out / "depth_val" / f"{name}.txt",
+                       np.vstack([dval, np.ones_like(dval)]))
 
     fio.write_intrinsics_yaml(out / "intrinsics.yaml", scene.K, height, width)
     gt = np.tile(np.eye(4), (n_flowers, 1, 1))

@@ -123,11 +123,15 @@ def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[PoseNet, Tr
     return model, state
 
 
-def make_train_step(model: PoseNet, tx: optax.GradientTransformation, mesh=None):
+def make_train_step(model: PoseNet, tx: optax.GradientTransformation, mesh=None,
+                    donate: bool = True):
     """Returns a jitted (state, images, rot_gt, rng) -> (state, metrics) step.
 
     With a mesh, the batch is sharded over 'data' and gradients reduce via
-    GSPMD-inserted psums over ICI.
+    GSPMD-inserted psums over ICI. The input state is donated by default
+    (params/opt buffers are rewritten in place — halves peak HBM for the
+    update); donate=False keeps the input state alive, used by the
+    donation-correctness test (SURVEY.md §5.2).
     """
 
     def step(state: TrainState, images, rot_gt, dropout_rng):
@@ -154,7 +158,7 @@ def make_train_step(model: PoseNet, tx: optax.GradientTransformation, mesh=None)
         return TrainState(params=new_params, batch_stats=new_stats,
                           opt_state=new_opt, step=state.step + 1), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model: PoseNet, mesh=None):

@@ -85,3 +85,76 @@ class TestSceneSample:
                 and (uv[:, 1] <= 161).all()
             return
         pytest.skip("no visible sample drawn")
+
+
+class TestDiskSceneSample:
+    """The reference's real-capture path: depth npy x splat scale, detection-
+    dir visibility matching (flower_attn_dataset.py:33-37,61-69,184-195)."""
+
+    @pytest.fixture(scope="class")
+    def dataset_dir(self, tmp_path_factory):
+        from flope_tpu.data.synthetic import write_dataset
+
+        out = tmp_path_factory.mktemp("scene_disk")
+        write_dataset(out, n_frames=6, n_flowers=4, height=240, width=320,
+                      seed=3, with_detections=True)
+        return out
+
+    def test_disk_sample_contract(self, dataset_dir, rng):
+        import json
+
+        from flope_tpu.data.scene_dataset import (load_splat_scale,
+                                                  make_scene_sample_from_disk)
+        from flope_tpu.utils.io import DatasetPaths
+
+        data = DatasetPaths(dataset_dir)
+        assert load_splat_scale(dataset_dir) == 1.0  # no transforms json
+        got_one = False
+        for name in data.files:
+            s = make_scene_sample_from_disk(data, name, rng,
+                                            SceneSampleConfig(crop_size=128))
+            if s is None:
+                continue
+            got_one = True
+            assert s.image.shape == (128, 128, 3)
+            assert s.mask.shape == (128, 128)
+            assert s.depth.shape == (128, 128)
+            assert s.poses.shape == (15, 4, 4)
+            assert s.valid.sum() == s.n
+            # GT poses land inside the crop when projected with K_crop.
+            t = s.poses[:s.n, :3, 3]
+            uv = (s.K_crop @ t.T).T
+            uv = uv[:, :2] / uv[:, 2:]
+            assert (uv >= -20).all() and (uv <= 148).all()
+        assert got_one
+
+    def test_splat_scale_applied(self, dataset_dir, rng, tmp_path):
+        """dataparser_transforms.json scale divides into depth values."""
+        import json
+        import shutil
+
+        from flope_tpu.data.scene_dataset import (load_splat_scale,
+                                                  make_scene_sample_from_disk)
+        from flope_tpu.utils.io import DatasetPaths
+
+        scaled = tmp_path / "scaled"
+        shutil.copytree(dataset_dir, scaled)
+        (scaled / "dataparser_transforms.json").write_text(
+            json.dumps({"scale": 0.5}))
+        assert load_splat_scale(scaled) == 2.0
+
+        data = DatasetPaths(scaled)
+        rng_a = np.random.default_rng(7)
+        rng_b = np.random.default_rng(7)
+        base = DatasetPaths(dataset_dir)
+        for name in data.files:
+            a = make_scene_sample_from_disk(base, name, rng_a,
+                                            SceneSampleConfig(crop_size=128))
+            b = make_scene_sample_from_disk(data, name, rng_b,
+                                            SceneSampleConfig(crop_size=128))
+            if a is None or b is None:
+                continue
+            # Depth map is multiplied by 1/scale = 2.
+            np.testing.assert_allclose(b.depth, a.depth * 2.0, rtol=1e-5)
+            return
+        pytest.skip("no sample drawn")

@@ -102,6 +102,51 @@ class _null_ctx:
         return False
 
 
+class TestDonation:
+    """Donated-buffer correctness (SURVEY.md §5.2): make_train_step donates
+    the input state (donate_argnums=(0,), posenet_train.py); aliasing bugs
+    would corrupt the in-place-rewritten params/opt buffers mid-update, so
+    the donating trajectory must match a non-donating one exactly."""
+
+    def test_donating_trajectory_matches_undonated(self):
+        cfg = TrainConfig(optimizer="adamw", batch_size=8, dropout=0.0, **SMALL)
+        data = synthetic_crops(8, size=cfg.image_size, seed=5)
+        images = jnp.asarray(data["images"])
+        rots = jnp.asarray(data["rotations"])
+
+        losses = {}
+        final_params = {}
+        for donate in (False, True):
+            model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+            step = make_train_step(model, make_optimizer(cfg), donate=donate)
+            ls = []
+            for i in range(3):
+                state, m = step(state, images, rots, jax.random.PRNGKey(i))
+                ls.append(float(m["loss"]))
+            losses[donate] = ls
+            final_params[donate] = jax.tree.leaves(state.params)[0]
+        np.testing.assert_array_equal(losses[True], losses[False])
+        np.testing.assert_array_equal(np.asarray(final_params[True]),
+                                      np.asarray(final_params[False]))
+
+    def test_donated_state_buffers_are_consumed(self):
+        cfg = TrainConfig(optimizer="adamw", batch_size=8, dropout=0.0, **SMALL)
+        data = synthetic_crops(8, size=cfg.image_size, seed=6)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(model, make_optimizer(cfg))
+        old_leaf = jax.tree.leaves(state.params)[0]
+        state2, _ = step(state, jnp.asarray(data["images"]),
+                         jnp.asarray(data["rotations"]), jax.random.PRNGKey(1))
+        jax.block_until_ready(state2.step)
+        if old_leaf.is_deleted():
+            # Donation honored: stale reads must fail loudly, not silently
+            # return rewritten memory.
+            with pytest.raises(Exception):
+                np.asarray(old_leaf) + 0
+        else:
+            pytest.skip("backend did not honor donation (no aliasing risk)")
+
+
 class TestCheckpointRoundtrip:
     def test_orbax_save_restore(self, tmp_path):
         import orbax.checkpoint as ocp
