@@ -35,6 +35,11 @@ def main():
                     help="bench the FULL frame->poses graph including the "
                          "YOLO11-seg detector (throughput is weight-independent)")
     ap.add_argument("--det-size", type=int, default=640)
+    ap.add_argument("--streaming", action="store_true",
+                    help="feed each iteration's frames host->device (uint8 "
+                         "rgb + uint16 depth-mm) through the double-buffered "
+                         "FrameFeeder instead of pre-staging — the live-"
+                         "camera regime (flower_model.py:277-291)")
     args = ap.parse_args()
 
     import jax
@@ -102,27 +107,62 @@ def main():
             return jnp.sum(pred.poses) + jnp.sum(pred.depth)
 
     run = jax.jit(run_and_reduce, static_argnames=())
-    float(run(variables, batch, K))  # compile + warm
-    float(run(variables, batch, K))  # steady-state warm
 
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(args.iters):
-        out = run(variables, batch, K)
-    float(out)  # single fence for the whole chain
-    dt = (time.perf_counter() - t0) / args.iters
+    if args.streaming:
+        # Live-camera regime: every iteration's frames cross host->device in
+        # compact sensor dtypes (uint8 rgb, uint16 depth-mm), double-buffered
+        # so transfer overlaps compute. The jitted graphs cast on device.
+        from flope_tpu.parallel import device_stream
+
+        host_all = (
+            np.stack([f.rgb for f in frames]),  # uint8
+            np.stack([f.depth_mm for f in frames]).astype(np.uint16),
+            np.stack([f.boxes for f in frames]),
+            np.stack([f.valid for f in frames]),
+            np.stack([f.mask for f in frames]),  # uint8
+        )
+        host_batch = host_all[:2] if args.with_detector else host_all
+        warm = jax.device_put(host_batch, dev)
+        float(run(variables, warm, K))  # compile + warm
+        float(run(variables, warm, K))
+
+        def batches(n):
+            for _ in range(n):
+                yield host_batch
+
+        t0 = time.perf_counter()
+        out = None
+        for db in device_stream(batches(args.iters), target=dev, depth=2):
+            out = run(variables, db, K)
+        float(out)  # single fence for the whole chain
+        dt = (time.perf_counter() - t0) / args.iters
+    else:
+        float(run(variables, batch, K))  # compile + warm
+        float(run(variables, batch, K))  # steady-state warm
+
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = run(variables, batch, K)
+        float(out)  # single fence for the whole chain
+        dt = (time.perf_counter() - t0) / args.iters
+
     crops_per_sec = args.frames * args.max_det / dt
     baseline = 5000.0  # BASELINE.json north star: >=5k crops/sec/chip
+    metric = ("detect_to_pose_crops_per_sec_per_chip" if args.with_detector
+              else "detect_tail_crops_per_sec_per_chip")
+    if args.streaming:
+        metric = "streaming_" + metric
     print(json.dumps({
-        "metric": ("detect_to_pose_crops_per_sec_per_chip" if args.with_detector
-                   else "detect_tail_crops_per_sec_per_chip"),
+        "metric": metric,
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 3),
         "config": {"crop": args.crop, "frames": args.frames,
                    "max_det": args.max_det, "dtype": args.dtype,
                    "resolution": f"{args.width}x{args.height}",
-                   "detector": bool(args.with_detector)},
+                   "detector": bool(args.with_detector),
+                   "streaming": bool(args.streaming)},
     }))
 
 

@@ -7,3 +7,4 @@ from flope_tpu.parallel.mesh import (
     shard_batch,
     P,
 )
+from flope_tpu.parallel.streaming import FrameFeeder, device_stream

@@ -53,6 +53,13 @@ class TrainConfig:
     dropout: float = 0.5
     model_dtype: Any = jnp.float32
     ckpt_dir: str | None = "weights"
+    # Snapshot cadence: N>0 saves posenet_e{n} every N epochs (the reference
+    # saves EVERY epoch, train_posenet.py:186 — use 1 for parity). 0 saves
+    # only the final epoch + the best-eval checkpoint. Each snapshot fetches
+    # ~135 MB (params + opt state) from the device — through a remote-attached
+    # TPU that dominates epoch time, so the default is 0 with the best state
+    # tracked as a cheap on-device copy and written once at the end.
+    ckpt_every: int = 0
     log_path: str | None = "posenet_train.jsonl"
     mesh_axes: tuple[str, ...] = ("data", "model")
 
@@ -229,6 +236,8 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
         Path(config.ckpt_dir).mkdir(parents=True, exist_ok=True)
 
     history = []
+    best_vars = None
+    best_step = None
     n = train_data["images"].shape[0]
     for epoch in range(epochs):
         t0 = time.time()
@@ -265,21 +274,34 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
         log_fn(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.4f}" for k, v in rec.items() if k != "epoch"))
         if ckptr is not None:
-            path = Path(config.ckpt_dir).absolute() / f"posenet_e{epoch}"
-            ckptr.save(path, {"params": state.params,
-                              "batch_stats": state.batch_stats,
-                              "opt_state": state.opt_state,
-                              "step": state.step}, force=True)
-            # Track the best-eval checkpoint (the reference only kept
-            # per-epoch snapshots and picked by hand, e.g. posenet_e183).
-            key = "eval_angle" if "eval_angle" in rec else "train_angle"
-            if rec[key] == min(h.get(key, float("inf")) for h in history):
-                ckptr.wait_until_finished()
-                best = Path(config.ckpt_dir).absolute() / "posenet_best"
-                ckptr.save(best, {"params": state.params,
+            if config.ckpt_every > 0 and epoch % config.ckpt_every == 0:
+                path = Path(config.ckpt_dir).absolute() / f"posenet_e{epoch}"
+                ckptr.save(path, {"params": state.params,
                                   "batch_stats": state.batch_stats,
                                   "opt_state": state.opt_state,
                                   "step": state.step}, force=True)
+            # Track the best-eval checkpoint (the reference only kept
+            # per-epoch snapshots and picked by hand, e.g. posenet_e183) as a
+            # device-resident copy — no host fetch until training ends.
+            key = "eval_angle" if "eval_angle" in rec else "train_angle"
+            if rec[key] == min(h.get(key, float("inf")) for h in history):
+                # jnp.copy: the live state's buffers are donated into the
+                # next step; snapshots must own their memory.
+                best_vars = jax.tree.map(jnp.copy,
+                                         {"params": state.params,
+                                          "batch_stats": state.batch_stats})
+                best_step = jnp.copy(state.step)
     if ckptr is not None:
+        final = Path(config.ckpt_dir).absolute() / f"posenet_e{epochs - 1}"
+        ckptr.save(final, {"params": state.params,
+                           "batch_stats": state.batch_stats,
+                           "opt_state": state.opt_state,
+                           "step": state.step}, force=True)
+        if best_vars is not None:
+            best = Path(config.ckpt_dir).absolute() / "posenet_best"
+            ckptr.save(best, {"params": best_vars["params"],
+                              "batch_stats": best_vars["batch_stats"],
+                              "opt_state": state.opt_state,
+                              "step": best_step}, force=True)
         ckptr.wait_until_finished()
     return model, state, history

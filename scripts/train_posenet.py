@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default="weights")
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="snapshot every N epochs (1 = reference parity, "
+                         "0 = final + best only; snapshots are slow through "
+                         "remote-attached TPUs)")
     ap.add_argument("--warm-start", default=None,
                     help="orbax ckpt dir or torch .pth to initialize from")
     ap.add_argument("--log", default="posenet_train.jsonl")
@@ -67,7 +71,7 @@ def main(argv=None):
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, seed=args.seed, optimizer=args.optimizer,
                       image_size=args.image_size, ckpt_dir=args.ckpt_dir,
-                      log_path=args.log)
+                      ckpt_every=args.ckpt_every, log_path=args.log)
     init_variables = None
     if args.warm_start:
         from flope_tpu.utils.checkpoint import load_posenet_ckpt
