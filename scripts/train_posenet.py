@@ -38,9 +38,8 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    from flope_tpu.utils.runtime import setup_jax
+    setup_jax(cpu=args.cpu)
 
     from flope_tpu.data.posenet_dataset import load_crop_dataset, synthetic_crops
     from flope_tpu.parallel import make_mesh

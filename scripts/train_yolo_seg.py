@@ -22,9 +22,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
+    from flope_tpu.utils.runtime import setup_jax
+    setup_jax(cpu=args.cpu)
     import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
