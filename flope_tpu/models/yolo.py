@@ -354,10 +354,11 @@ def decode_predictions(raw: dict, reg_max: int = 16) -> dict:
             "mc": jnp.concatenate(all_mc, 1)}
 
 
-@functools.partial(jax.jit, static_argnames=("max_det", "score_th", "iou_th", "topk"))
+@functools.partial(jax.jit, static_argnames=("max_det", "score_th", "iou_th",
+                                             "topk", "refine_boxes"))
 def postprocess(decoded: dict, proto: jax.Array, max_det: int = 16,
                 score_th: float = 0.25, iou_th: float = 0.7,
-                topk: int = 64) -> dict:
+                topk: int = 64, refine_boxes: bool = False) -> dict:
     """Fixed-shape candidate selection + NMS + instance masks. Single image
     (no batch dim on inputs; vmap for batches).
 
@@ -365,6 +366,12 @@ def postprocess(decoded: dict, proto: jax.Array, max_det: int = 16,
     'valid': (max_det,), 'masks': (max_det, Hp, Wp) float [0,1] at proto res,
     'union_mask': (Hp, Wp) float} — union semantics of get_bbox_mask
     (fast_pose_predictor.py:49-57): sum instance masks, clip to [0,1].
+
+    refine_boxes=True replaces each regressed box by the tight bounding box
+    of its instance mask (> 0.5, proto resolution x4) when the mask is
+    non-empty. Regressed boxes can sit a few pixels off the flower; the crop
+    tail squarifies the box, so box misalignment translates directly into
+    PoseNet rotation error — the mask is the better localizer.
     """
     from flope_tpu.ops.nms import nms
 
@@ -394,6 +401,19 @@ def postprocess(decoded: dict, proto: jax.Array, max_det: int = 16,
               & (ys >= bx[:, 1, None, None]) & (ys < bx[:, 3, None, None]))
     masks = jnp.where(inside & out_valid[:, None, None], masks, 0.0)
     union = jnp.clip(jnp.sum(jnp.where(masks > 0.5, masks, 0.0), 0), 0.0, 1.0)
+    if refine_boxes:
+        hard = masks > 0.5  # (D, hp, wp)
+        col_any = hard.any(axis=1)  # (D, wp)
+        row_any = hard.any(axis=2)  # (D, hp)
+        xi = jnp.arange(wp, dtype=jnp.float32)[None]
+        yi = jnp.arange(hp, dtype=jnp.float32)[None]
+        x1 = jnp.min(jnp.where(col_any, xi, jnp.inf), axis=1)
+        x2 = jnp.max(jnp.where(col_any, xi, -jnp.inf), axis=1) + 1.0
+        y1 = jnp.min(jnp.where(row_any, yi, jnp.inf), axis=1)
+        y2 = jnp.max(jnp.where(row_any, yi, -jnp.inf), axis=1) + 1.0
+        tight = jnp.stack([x1, y1, x2, y2], axis=-1) * 4.0  # proto stride
+        nonempty = col_any.any(axis=1)
+        out_boxes = jnp.where(nonempty[:, None], tight, out_boxes)
     return {"boxes": out_boxes.astype(jnp.int32), "scores": out_scores,
             "valid": out_valid, "masks": masks, "union_mask": union}
 

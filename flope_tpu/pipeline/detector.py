@@ -32,10 +32,12 @@ __all__ = ["yolo_detect", "detect_and_pose", "YoloJaxDetector", "TeacherDetector
 
 
 @functools.partial(jax.jit, static_argnames=("det_size", "max_det", "score_th",
-                                             "iou_th", "scale", "num_classes"))
+                                             "iou_th", "scale", "num_classes",
+                                             "refine_boxes"))
 def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
                 max_det: int = 16, score_th: float = 0.25, iou_th: float = 0.7,
-                scale: str = "n", num_classes: int = 1):
+                scale: str = "n", num_classes: int = 1,
+                refine_boxes: bool = False):
     """One frame -> (boxes in frame coords, scores, valid, union mask at frame res).
 
     The frame is stretch-resized to (det_size, det_size) for the net (the
@@ -51,7 +53,8 @@ def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
         yolo_variables, inp[None], train=False)
     dec = decode_predictions(raw)
     post = postprocess({k: v[0] for k, v in dec.items()}, raw["proto"][0],
-                       max_det=max_det, score_th=score_th, iou_th=iou_th)
+                       max_det=max_det, score_th=score_th, iou_th=iou_th,
+                       refine_boxes=refine_boxes)
     sx = w / det_size
     sy = h / det_size
     boxes = post["boxes"].astype(jnp.float32) * jnp.asarray([sx, sy, sx, sy])
@@ -62,11 +65,12 @@ def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
 
 
 @functools.partial(jax.jit, static_argnames=("det_size", "config", "score_th",
-                                             "iou_th", "scale"))
+                                             "iou_th", "scale", "refine_boxes"))
 def detect_and_pose(yolo_variables: dict, posenet_variables: dict,
                     rgb: jax.Array, depth_raw: jax.Array, K: jax.Array,
                     det_size: int = 640, score_th: float = 0.25,
                     iou_th: float = 0.7, scale: str = "n",
+                    refine_boxes: bool = False,
                     config: PipelineConfig = PipelineConfig()) -> FramePrediction:
     """THE fused graph: raw RGB-D frame -> (MAX_DET,4,4) poses + masks.
 
@@ -75,7 +79,8 @@ def detect_and_pose(yolo_variables: dict, posenet_variables: dict,
     crops -> PoseNet -> poses, with zero host round trips.
     """
     boxes, _, valid, mask = yolo_detect(
-        yolo_variables, rgb, det_size, config.max_det, score_th, iou_th, scale)
+        yolo_variables, rgb, det_size, config.max_det, score_th, iou_th, scale,
+        refine_boxes=refine_boxes)
     return predict_frame(posenet_variables, rgb, depth_raw, boxes, valid,
                          mask, K, config)
 
@@ -84,18 +89,21 @@ class YoloJaxDetector:
     """Pipeline detector protocol wrapper around the jitted YOLO graph."""
 
     def __init__(self, variables: dict, det_size: int = 640, max_det: int = 16,
-                 score_th: float = 0.25, iou_th: float = 0.7, scale: str = "n"):
+                 score_th: float = 0.25, iou_th: float = 0.7, scale: str = "n",
+                 refine_boxes: bool = False):
         self.variables = variables
         self.det_size = det_size
         self.max_det = max_det
         self.score_th = score_th
         self.iou_th = iou_th
         self.scale = scale
+        self.refine_boxes = refine_boxes
 
     def detect(self, rgb: np.ndarray):
         boxes, _, valid, mask = yolo_detect(
             self.variables, jnp.asarray(rgb), self.det_size, self.max_det,
-            self.score_th, self.iou_th, self.scale)
+            self.score_th, self.iou_th, self.scale,
+            refine_boxes=self.refine_boxes)
         return (np.asarray(boxes), np.asarray(valid),
                 np.asarray(mask).astype(np.uint8))
 

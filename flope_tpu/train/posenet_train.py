@@ -118,8 +118,13 @@ def param_shardings(mesh, variables):
 
 def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[PoseNet, TrainState]:
     model = PoseNet(dtype=config.model_dtype, dropout=config.dropout)
-    variables = model.init(rng, jnp.zeros((1, config.image_size,
-                                           config.image_size, 3)), train=False)
+    # jit the init: eager init dispatches every conv/bn op one by one — each a
+    # round trip through a remote-attached TPU (minutes of startup); jitted it
+    # is one program and lands in the persistent compile cache.
+    init = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, config.image_size, config.image_size, 3)),
+        train=False))
+    variables = init(rng)
     tx = make_optimizer(config)
     state = TrainState(
         params=variables["params"],

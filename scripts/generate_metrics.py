@@ -19,6 +19,9 @@ def main(argv=None):
     ap.add_argument("--yolo-ckpt", default=None)
     ap.add_argument("--det-size", type=int, default=640)
     ap.add_argument("--score-th", type=float, default=0.25)
+    ap.add_argument("--refine-boxes", action="store_true",
+                    help="replace regressed boxes by instance-mask tight "
+                         "boxes (in-graph)")
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--flowers", type=int, default=5)
     ap.add_argument("--height", type=int, default=480)
@@ -53,7 +56,8 @@ def main(argv=None):
             yolo_v = load_ckpt(args.yolo_ckpt)
         detector = YoloJaxDetector(yolo_v, det_size=args.det_size,
                                    max_det=args.max_det,
-                                   score_th=args.score_th)
+                                   score_th=args.score_th,
+                                   refine_boxes=args.refine_boxes)
 
     cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop)
     summary = evaluate_pipeline(

@@ -18,6 +18,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--ckpt-dir", default="weights_yolo")
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="snapshot every N epochs (0 = final + best-loss "
+                         "only; per-epoch snapshots are slow through "
+                         "remote-attached TPUs)")
     ap.add_argument("--log", default="yolo_train.jsonl")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -63,6 +67,7 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     n = data["images"].shape[0]
     bs = min(args.batch_size, n)
+    best = {"loss": float("inf"), "vars": None}
     for epoch in range(args.epochs):
         t0 = time.time()
         idx = rng.permutation(n)
@@ -75,8 +80,19 @@ def main(argv=None):
         mean = {k: float(np.mean([float(m[k]) for m in metrics]))
                 for k in metrics[0]}
         logger.log({"epoch": epoch, **mean, "sec": round(time.time() - t0, 2)})
-        save_ckpt(f"{args.ckpt_dir}/yolo_e{epoch}",
-                  {"params": params, "batch_stats": stats})
+        if args.ckpt_every > 0 and epoch % args.ckpt_every == 0:
+            save_ckpt(f"{args.ckpt_dir}/yolo_e{epoch}",
+                      {"params": params, "batch_stats": stats})
+        if mean["loss"] < best["loss"]:
+            # Device-resident copy (the step does not donate, but copying
+            # keeps the snapshot independent of later updates).
+            best = {"loss": mean["loss"],
+                    "vars": jax.tree.map(jnp.copy, {"params": params,
+                                                    "batch_stats": stats})}
+    save_ckpt(f"{args.ckpt_dir}/yolo_e{args.epochs - 1}",
+              {"params": params, "batch_stats": stats})
+    if best["vars"] is not None:
+        save_ckpt(f"{args.ckpt_dir}/yolo_best", best["vars"])
 
 
 if __name__ == "__main__":

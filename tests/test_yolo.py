@@ -109,6 +109,26 @@ class TestPostprocess:
         union = np.asarray(out["union_mask"])
         assert union.max() <= 1.0 and union[:20, :20].max() > 0.5
 
+    def test_refine_boxes_from_mask(self):
+        """refine_boxes=True: regressed box replaced by the instance-mask
+        tight box (models/yolo.py postprocess)."""
+        boxes = np.array([[0, 0, 120, 120]], np.float32)  # loose box
+        dec = self._fake_decoded(boxes, np.array([0.9], np.float32))
+        # Proto positive only in a small region -> mask occupies
+        # [4..12) x [6..10) proto cells = pixels x:[16,48) y:[24,40).
+        proto = np.full((40, 40, 32), -5.0, np.float32)
+        proto[6:10, 4:12] = 5.0
+        out = postprocess(dec, jnp.asarray(proto), max_det=4, score_th=0.25,
+                          iou_th=0.5, topk=16, refine_boxes=True)
+        np.testing.assert_array_equal(np.asarray(out["boxes"])[0],
+                                      [16, 24, 48, 40])
+        # Empty-mask detections keep the regressed box.
+        proto_neg = jnp.full((40, 40, 32), -5.0)
+        out2 = postprocess(dec, proto_neg, max_det=4, score_th=0.25,
+                           iou_th=0.5, topk=16, refine_boxes=True)
+        np.testing.assert_array_equal(np.asarray(out2["boxes"])[0],
+                                      [0, 0, 120, 120])
+
     def test_below_threshold_invalid(self):
         boxes = np.array([[10, 10, 50, 50]], np.float32)
         dec = self._fake_decoded(boxes, np.array([0.1], np.float32))
