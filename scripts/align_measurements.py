@@ -6,6 +6,7 @@ semantics) running as a jitted step, and writes aligned/measurements.pkl +
 aligned/average_poses.pkl in the reference's pickle format.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import pickle
 import sys

@@ -2,6 +2,7 @@
 
 Edits data/flower_poses.npy over the 3DGS plant point cloud."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

@@ -2,6 +2,7 @@
 typo preserved there, fixed here): random homography rotation + photometric
 jitter applied to every image in a folder."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

@@ -1,6 +1,7 @@
 """Debug ArUco detection + grid pose estimation over a folder (reference:
 scripts/detect_aruco.py)."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

@@ -4,6 +4,7 @@ Reference: scripts/extract_depth.py:50-57 — for each frame, read detections
 and mask, pool depth per box, write a (2, N) array [values_m; reliable_flags].
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

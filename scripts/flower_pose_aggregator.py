@@ -4,6 +4,7 @@ align_measurements with score-threshold final filtering and a 3DGS splat-scale
 option (flower_pose_aggregrator.py:159-167): depths stored in splat units are
 multiplied by the scene scale before lifting."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import json
 import pickle

@@ -2,6 +2,7 @@
 + mask/ (reference: scripts/gdino.py). Requires local HF checkpoints (no
 network egress here); see flope_tpu.pipeline.detector.TeacherDetector."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

@@ -1,6 +1,7 @@
 """Generate the printable 6x4 ArUco marker grid (reference:
 scripts/generate_aruco.py)."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

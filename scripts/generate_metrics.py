@@ -7,6 +7,7 @@ on the synthetic ground-truth world. --detector gt isolates the pose branch
 --detector yolo evaluates the full student stack.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import json
 import sys

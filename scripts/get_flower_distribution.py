@@ -2,6 +2,7 @@
 scripts/get_flower_distribution.py): from aligned measurements, the 7-D
 (trans+quat) variance of each flower observed >= 10 times, averaged."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import pickle
 import sys

@@ -6,6 +6,7 @@ FILTERED quaternions (the reference's deliberate choice,
 kalman_filter.py:132-134), writes aligned/measurements_quat_filter.pkl.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import pickle
 import sys

@@ -5,6 +5,7 @@ Optionally runs the online Kalman tracker over camera poses (the FlowerModel
 loop, flower_model.py:277-291) with --track.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

@@ -1,6 +1,7 @@
 """Nerfstudio transforms.json -> per-frame pose txt (reference:
 scripts/parse_transforms.py): OpenGL camera-to-world -> OpenCV, flat R9+t3."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import json
 import sys

@@ -4,6 +4,7 @@ Writes incremental results to --out as JSONL. Uses the relay-safe fence
 (scalar readback) and the persistent compile cache.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import json
 import sys

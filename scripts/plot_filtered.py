@@ -1,5 +1,6 @@
 """Raw vs KF-filtered 7-D state plots (reference: scripts/plot_filtered.py)."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import pickle
 import sys

@@ -5,6 +5,7 @@ projects the world-frame fused poses through each frame's camera, draws axes,
 writes vis_gt/, then ffmpeg-renders a video (utils/io.py:101-104).
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import pickle
 import sys

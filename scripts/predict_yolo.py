@@ -1,5 +1,6 @@
 """YOLO inference over a folder (reference: scripts/predict_yolo.py)."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

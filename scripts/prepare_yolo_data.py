@@ -7,6 +7,7 @@ the synthetic scene factory). Writes images/{split}, masks/{split},
 labels/{split} (YOLO-seg polygons) + dataset yaml, then sanity-checks.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

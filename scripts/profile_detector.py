@@ -7,6 +7,7 @@ milliseconds are. Uses the chained-dispatch + scalar-readback fence pattern
 (block_until_ready does not block through the remote relay; see bench.py).
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import time
 
@@ -26,10 +27,13 @@ def timeit(fn, *args, iters=10):
 
 
 def _fence(tree):
+    # Reduce to a scalar ON DEVICE and fetch only that: fetching a raw leaf
+    # would drag the whole array (up to hundreds of MB) through the remote
+    # relay and time the transfer, not the compute.
     import jax
-    leaves = jax.tree.leaves(tree)
-    total = sum(float(np.asarray(l, np.float32).sum()) for l in [leaves[0]])
-    return total
+    import jax.numpy as jnp
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
 def main():

@@ -2,6 +2,7 @@
 compare slerp vs linear-9D + Procrustes projection between two random
 rotations — the experiment that justified the 9-D rotation representation."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

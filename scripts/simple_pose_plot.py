@@ -1,6 +1,7 @@
 """Single-frame predictor demo (reference: scripts/simple_pose_plot.py):
 run the pipeline on one rgb+depth pair and save the axes overlay."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

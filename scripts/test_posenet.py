@@ -11,6 +11,7 @@ Detector options: --detector mask (connected components from mask/),
 here (dataset-only tool).
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

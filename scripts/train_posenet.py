@@ -6,6 +6,7 @@ a reference-layout crops dir (--data-dir) or the synthetic factory
 (--synthetic N).
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

@@ -1,6 +1,7 @@
 """Train the YOLO11-seg flower detector (reference: scripts/train_yolo_seg.py,
 which delegated to ultralytics; here: flope_tpu.train.yolo_train natively)."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 import time

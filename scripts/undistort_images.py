@@ -2,6 +2,7 @@
 which hard-coded the Pixel 6a intrinsics; here they're flags with the same
 defaults, see flope_tpu.data.cameras)."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

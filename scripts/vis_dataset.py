@@ -4,6 +4,7 @@ matplotlib 3D (plotly isn't in this environment), plus reprojection sanity
 overlays — the lift->world->reproject round trip the reference used as an
 ad-hoc correctness check (vis_dataset.py:88-103)."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 from pathlib import Path

@@ -2,6 +2,7 @@
 a stub there; functional here): world-frame GT flower poses -> per-frame
 camera-frame overlay images in vis_gt/."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 

@@ -1,6 +1,7 @@
 """Dataset integrity check (reference: scripts/yolo_data_sanity.py):
 find/delete samples missing any of image/mask/label."""
 
+import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
 import sys
 
