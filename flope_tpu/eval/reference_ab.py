@@ -121,7 +121,12 @@ def run_reference_ab(variables: dict, scene, frames, crop_size: int = 512,
             continue
         dist = np.linalg.norm(ref[:, None, :3, 3] - ours[None, :, :3, 3], axis=-1)
         used = np.zeros(no, bool)
-        gt = frame.gt_poses_cam[frame.valid]
+        gt = np.array(frame.gt_poses_cam[frame.valid])
+        # Both pipelines yaw-nullify their outputs (pose_predictor.py:161);
+        # the GT context columns must compare like with like or they read as
+        # a uniform ~90 deg of phantom error.
+        from flope_tpu.geometry import nullify_yaw
+        gt[:, :3, :3] = np.asarray(nullify_yaw(jnp.asarray(gt[:, :3, :3])))
         for ri in np.argsort(dist.min(axis=1)):
             oi = int(np.argmin(np.where(used, np.inf, dist[ri])))
             if used[oi] or dist[ri, oi] > 0.05:  # 5 cm gate

@@ -62,6 +62,10 @@ class PipelineConfig:
     # Crop windows slice a fixed region around each box before the sampling
     # matmuls (FLOP cut; exact while boxes fit). None = exact full-frame path.
     crop_region: int | None = 768
+    # dtype of the crop sampling contractions: bfloat16 = single-pass MXU
+    # matmuls (+-1 uint8 LSB vs the float32 bit-parity path — see
+    # ops/crop_resize.py), float32 = exact.
+    crop_dtype: Any = jnp.float32
 
     def teacher(self) -> "PipelineConfig":
         return dataclasses.replace(self, depth_scale=1.0 / 10000.0, filter_large=True)
@@ -116,7 +120,7 @@ def predict_frame(
     crops = crop_resize_with_mask(
         rgb.astype(jnp.float32), seg_mask.astype(jnp.float32), sq,
         out_size=config.crop_size, method=config.resize_method,
-        region_size=config.crop_region,
+        region_size=config.crop_region, compute_dtype=config.crop_dtype,
     ) / 255.0
 
     # 7. PoseNet -> Procrustes -> yaw-nullify (pose_predictor.py:156-161).

@@ -22,10 +22,25 @@ def save_ckpt(path, tree) -> None:
 
 
 def load_ckpt(path):
+    """Restore a checkpoint as host numpy arrays.
+
+    Restoring with the recorded shardings would fail across backends (a
+    checkpoint written on the TPU names devices that don't exist on the CPU
+    platform and vice versa), so force numpy restore_types throughout.
+    """
+    import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(path).absolute())
+    ckptr = ocp.PyTreeCheckpointer()
+    meta_tree = ckptr.metadata(Path(path).absolute()).item_metadata.tree
+    restored = ckptr.restore(
+        Path(path).absolute(),
+        restore_args=jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree,
+        ),
+    )
+    return restored
 
 
 def load_posenet_ckpt(path) -> dict:

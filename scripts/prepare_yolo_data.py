@@ -20,6 +20,10 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic frames")
+    ap.add_argument("--scenes", type=int, default=1,
+                    help="spread the N synthetic frames over this many "
+                         "independently sampled scenes (flower count varies "
+                         "per scene) — single-scene data overfits the layout")
     ap.add_argument("--data-dir", default=None,
                     help="reference-layout dataset with rgb/ + mask/")
     ap.add_argument("--val-frac", type=float, default=0.1)
@@ -44,13 +48,20 @@ def main(argv=None):
     samples = []  # (name, rgb, mask, boxes)
     if args.synthetic:
         rng = np.random.default_rng(args.seed)
-        scene = SyntheticScene.random(rng, n_flowers=6, height=args.height,
-                                      width=args.width)
-        for i in range(args.synthetic):
-            ang = 2 * np.pi * i / args.synthetic
-            fr = render_frame(scene, orbit_camera(scene, ang), max_det=16)
-            boxes = fr.boxes[fr.valid]
-            samples.append((f"syn_{i:05d}", fr.rgb, fr.mask, boxes))
+        per_scene = max(args.synthetic // max(args.scenes, 1), 1)
+        i = 0
+        for s in range(max(args.scenes, 1)):
+            scene = SyntheticScene.random(
+                rng, n_flowers=int(rng.integers(3, 10)),
+                height=args.height, width=args.width)
+            for j in range(per_scene):
+                if i >= args.synthetic:
+                    break
+                ang = 2 * np.pi * j / per_scene + rng.uniform(0, 0.3)
+                fr = render_frame(scene, orbit_camera(scene, ang), max_det=16)
+                boxes = fr.boxes[fr.valid]
+                samples.append((f"syn_{i:05d}", fr.rgb, fr.mask, boxes))
+                i += 1
     else:
         assert args.data_dir, "need --synthetic N or --data-dir"
         from flope_tpu.utils.io import DatasetPaths, pth
@@ -64,6 +75,9 @@ def main(argv=None):
             samples.append((name, rgb, mask, boxes[valid]))
 
     n_val = max(int(len(samples) * args.val_frac), 1)
+    # Shuffle before splitting so val isn't a single scene's frames.
+    order = np.random.default_rng(args.seed + 1).permutation(len(samples))
+    samples = [samples[k] for k in order]
     for i, (name, rgb, mask, boxes) in enumerate(samples):
         split = "val" if i < n_val else "train"
         Image.fromarray(rgb).save(out / "images" / split / f"{name}.png")

@@ -59,11 +59,14 @@ def main(argv=None):
         "valid": jax.device_put(jnp.asarray(data["valid"])),
         "masks": jax.device_put((data["masks"] > 0.5).astype(np.uint8)),
     }
-    gather = jax.jit(lambda idx: (
-        jnp.take(dev["images"], idx, 0).astype(jnp.float32) / 255.0,
-        jnp.take(dev["boxes"], idx, 0),
-        jnp.take(dev["valid"], idx, 0),
-        jnp.take(dev["masks"], idx, 0).astype(jnp.float32)))
+    # Dataset arrays are ARGUMENTS, not closure constants: closed-over device
+    # arrays serialize into the HLO as literals, and the remote-compile relay
+    # rejects multi-hundred-MB requests (HTTP 413).
+    gather = jax.jit(lambda d, idx: (
+        jnp.take(d["images"], idx, 0).astype(jnp.float32) / 255.0,
+        jnp.take(d["boxes"], idx, 0),
+        jnp.take(d["valid"], idx, 0),
+        jnp.take(d["masks"], idx, 0).astype(jnp.float32)))
 
     rng = np.random.default_rng(0)
     n = data["images"].shape[0]
@@ -74,7 +77,7 @@ def main(argv=None):
         idx = rng.permutation(n)
         metrics = []
         for s in range(0, n - bs + 1, bs):
-            imgs, boxes, valid, masks = gather(jnp.asarray(idx[s:s + bs]))
+            imgs, boxes, valid, masks = gather(dev, jnp.asarray(idx[s:s + bs]))
             params, stats, opt, m = step(params, stats, opt, imgs, boxes,
                                          valid, masks)
             metrics.append(m)
@@ -84,10 +87,10 @@ def main(argv=None):
         if args.ckpt_every > 0 and epoch % args.ckpt_every == 0:
             save_ckpt(f"{args.ckpt_dir}/yolo_e{epoch}",
                       {"params": params, "batch_stats": stats})
-        if mean["loss"] < best["loss"]:
+        if mean["total"] < best["loss"]:
             # Device-resident copy (the step does not donate, but copying
             # keeps the snapshot independent of later updates).
-            best = {"loss": mean["loss"],
+            best = {"loss": mean["total"],
                     "vars": jax.tree.map(jnp.copy, {"params": params,
                                                     "batch_stats": stats})}
     save_ckpt(f"{args.ckpt_dir}/yolo_e{args.epochs - 1}",

@@ -128,6 +128,24 @@ class TestCropResize:
             jnp.asarray(boxes), out_size=128, region_size=256))
         assert np.abs(a - b).max() <= 1.0
 
+    def test_bf16_compute_within_one_lsb(self, rng):
+        """The bf16 deployment fast path: uint8 pixel values are exact in
+        bf16, so only ~2^-8 tap-weight rounding remains — within +-1 uint8
+        step of the float32 bit-parity path (ties may round either way)."""
+        from flope_tpu.ops import crop_resize_with_mask
+        img = make_image(rng, 480, 640)
+        mask = np.zeros((480, 640), np.uint8)
+        mask[100:400, 100:500] = 255
+        boxes = np.array([[120, 110, 320, 310], [0, 0, 64, 64], [500, 300, 620, 420]])
+        a = np.asarray(crop_resize_with_mask(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask, jnp.float32),
+            jnp.asarray(boxes), out_size=128))
+        b = np.asarray(crop_resize_with_mask(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask, jnp.float32),
+            jnp.asarray(boxes), out_size=128, compute_dtype=jnp.bfloat16))
+        assert np.abs(a - b).max() <= 2.0
+        assert np.mean(np.abs(a - b)) < 0.5
+
     def test_resize_image_matches_cv2(self, rng):
         small = rng.integers(0, 256, size=(40, 60)).astype(np.uint8)
         got = np.asarray(resize_image(jnp.asarray(small, jnp.float32), 120, 180,
