@@ -63,13 +63,20 @@ def make_ab_frames(seed: int = 0, n_frames: int = 6, n_flowers: int = 5,
 
 
 def run_reference_ab(variables: dict, scene, frames, crop_size: int = 512,
-                     reference_root: str | None = None) -> ABResult:
+                     reference_root: str | None = None,
+                     ref_variables: dict | None = None) -> ABResult:
     """Run both pipelines on the same frames/weights and measure deltas.
 
     The reference side always crops at 512^2 (hard-coded,
     pose_predictor.py:145); crop_size applies to the JAX side only, so
     crop_size=512 measures pure implementation drift and crop_size=256
     additionally measures the resolution substitution the TPU default uses.
+
+    ref_variables: weights for the torch side (defaults to `variables`).
+    Passing resolution-matched weights per side (a 512-trained model to the
+    reference, a 256-trained model to the 256 JAX config) turns the abs-error
+    columns into a deployment-config comparison instead of feeding one model
+    off-distribution inputs.
     """
     import jax.numpy as jnp
 
@@ -86,7 +93,7 @@ def run_reference_ab(variables: dict, scene, frames, crop_size: int = 512,
     depth_units = [f.depth_mm * 10.0 for f in frames]
 
     # ---- Reference side: the real torch/cv2 code ---------------------------
-    sd = posenet_state_dict_to_torch(variables)
+    sd = posenet_state_dict_to_torch(ref_variables or variables)
     pred = make_reference_predictor(sd, scene.K, scene.height, scene.width,
                                     reference_root=root)
     ref_out = run_reference_frames(

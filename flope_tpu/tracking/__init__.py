@@ -19,3 +19,4 @@ from flope_tpu.tracking.running_average import (
     average_sequence,
 )
 from flope_tpu.tracking.offline import smooth_quaternions
+from flope_tpu.tracking.live_view import LiveStatePlot

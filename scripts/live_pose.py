@@ -23,6 +23,12 @@ def main(argv=None):
     ap.add_argument("--crop", type=int, default=512)
     ap.add_argument("--depth-scale", type=float, default=1e-3)
     ap.add_argument("--track", action="store_true")
+    ap.add_argument("--live-plot", action="store_true",
+                    help="with --track: live per-track 7-D state plots, the "
+                         "reference FlowerModel's live views "
+                         "(flower_model.py:47-143); interactive figure when a "
+                         "display exists, else atomically rewrites "
+                         "live_state.png every frame")
     ap.add_argument("--dist-th-mm", type=float, default=50.0)
     ap.add_argument("--out", default=None, help="output vis dir (default <data>/vis_pose)")
     ap.add_argument("--cpu", action="store_true")
@@ -66,6 +72,10 @@ def main(argv=None):
         detector = YoloJaxDetector(yolo_v, max_det=args.max_det)
 
     tracks = init_tracks(64) if args.track else None
+    live = None
+    if args.track and args.live_plot:
+        from flope_tpu.tracking import LiveStatePlot
+        live = LiveStatePlot(out_png=out_dir / "live_state.png")
 
     for name in data.files:
         rgb = np.asarray(Image.open(pth(data.rgb, name, "png")))[..., :3]
@@ -93,6 +103,8 @@ def main(argv=None):
             meas = np.concatenate([world[:, :3, 3], quat], axis=1)
             tracks = tracker_step(tracks, jnp.asarray(meas),
                                   jnp.asarray(keep), args.dist_th_mm / 1000.0)
+            if live is not None:
+                live.update(tracks)
 
         vis = rgb[..., ::-1].copy()
         plot_flower_poses_on_image(vis, poses[keep], K)
@@ -101,6 +113,8 @@ def main(argv=None):
               + (f", {int(np.asarray(tracks.alive).sum())} tracks"
                  if tracks is not None else ""))
 
+    if live is not None:
+        live.close()
     if tracks is not None:
         alive = np.asarray(tracks.alive)
         print(f"final tracks: {alive.sum()}, scores "

@@ -24,7 +24,13 @@ from pathlib import Path
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--weights", help="orbax ckpt dir or torch .pth")
+    ap.add_argument("--weights", help="orbax ckpt dir or torch .pth "
+                    "(512-crop-trained; used by the torch reference side and "
+                    "the JAX side at crop 512)")
+    ap.add_argument("--weights-256", default=None,
+                    help="optional 256-crop-trained weights for the JAX side "
+                    "at crop 256 (deployment-config row); defaults to "
+                    "--weights")
     ap.add_argument("--random-init", action="store_true",
                     help="use a seeded random-init PoseNet (no checkpoint)")
     ap.add_argument("--frames", type=int, default=8)
@@ -53,13 +59,19 @@ def main():
     else:
         ap.error("pass --weights or --random-init")
 
+    variables_256 = (load_posenet_ckpt(args.weights_256)
+                     if args.weights_256 else None)
+
     scene, frames = make_ab_frames(seed=args.seed, n_frames=args.frames,
                                    n_flowers=args.flowers, height=args.height,
                                    width=args.width)
     results = []
     for cs in [int(c) for c in args.crop_sizes.split(",")]:
-        r = run_reference_ab(variables, scene, frames, crop_size=cs,
-                             reference_root=args.reference_root)
+        jax_vars = (variables_256 if cs == 256 and variables_256 is not None
+                    else variables)
+        r = run_reference_ab(jax_vars, scene, frames, crop_size=cs,
+                             reference_root=args.reference_root,
+                             ref_variables=variables)
         results.append(r)
         print(json.dumps(r.__dict__))
 
@@ -82,7 +94,11 @@ def main():
             f"{args.width}x{args.height}, seed {args.seed}. The reference "
             "crops at 512^2 (hard-coded); `crop` below is the JAX side's "
             "crop resolution — 512 isolates implementation drift, 256 adds "
-            "the TPU default's resolution substitution.",
+            "the TPU default's resolution substitution"
+            + (" (256 row uses resolution-matched weights "
+               f"{args.weights_256}, so its GT columns compare deployment "
+               "configs rather than feeding one model off-distribution "
+               "inputs)" if args.weights_256 else "") + ".",
             "",
             "| crop | matched | rot delta mean (deg) | rot delta max | "
             "trans delta mean (cm) | trans delta max | ref rot err vs GT | "

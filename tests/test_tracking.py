@@ -333,3 +333,24 @@ class TestOfflineSmoothing:
         want_t, want_q = self._oracle(trans, quat)
         np.testing.assert_allclose(got_t, want_t, atol=1e-6)
         np.testing.assert_allclose(got_q, want_q, rtol=1e-4, atol=1e-5)
+
+
+class TestLiveStatePlot:
+    def test_headless_writes_png(self, rng, tmp_path):
+        """The live view (reference flower_model.py:47-143) must refresh its
+        output image every frame in headless mode and survive empty tables."""
+        from flope_tpu.tracking import LiveStatePlot, init_tracks, tracker_step
+
+        out = tmp_path / "live.png"
+        live = LiveStatePlot(out_png=out, interactive=False)
+        state = init_tracks(8)
+        live.update(state)  # no tracks yet
+        m = np.array([[0.1, 0.2, 0.3, 0, 0, 0, 1.0],
+                      [0.5, 0.5, 0.5, 0, 0, 0, 1.0]])
+        v = np.array([True, True])
+        for _ in range(3):
+            state = tracker_step(state, jnp.asarray(m), jnp.asarray(v), 0.05)
+            live.update(state)
+        live.close()
+        assert out.exists() and out.stat().st_size > 0
+        assert len(live.history) == 4
