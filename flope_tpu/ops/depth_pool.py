@@ -24,7 +24,8 @@ from flope_tpu.ops.morphology import erode
 __all__ = ["masked_depth_value"]
 
 
-@functools.partial(jax.jit, static_argnames=("erode_ksize", "min_pixels"))
+@functools.partial(jax.jit, static_argnames=("erode_ksize", "min_pixels",
+                                             "exact"))
 def masked_depth_value(
     boxes: jax.Array,
     depth: jax.Array,
@@ -33,6 +34,7 @@ def masked_depth_value(
     far_plane: float = 3.0,
     erode_ksize: int = 10,
     min_pixels: int = 50,
+    exact: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-box flower depth (meters) + reliability flags.
 
@@ -40,6 +42,14 @@ def masked_depth_value(
     slicing in the reference). depth: (H, W) float meters. seg_mask: (H, W)
     uint8 {0,255} or bool. Returns (values (N,), reliable (N,)).
     Padded/degenerate boxes yield value 0 and reliable=False naturally.
+
+    exact=False switches to a summed-area-table path — one O(HW) cumsum pass
+    per frame, then each box mean is 4 corner lookups instead of an O(N*H*W)
+    masked reduction. Counts stay exact (integer f32 differences), values
+    carry ~1e-4 m of cumsum rounding. Measured on TPU v5e at 1080p x 16 det
+    the fused reduction is FASTER (XLA fuses the iota rects; 2-D cumsum
+    lowers to slow lane-axis scans), so exact=True is the default; the SAT
+    path wins when MAX_DET is large (O(HW) vs O(N*HW)).
     """
     h, w = depth.shape
     depth = depth.astype(jnp.float32)
@@ -48,17 +58,37 @@ def masked_depth_value(
     m = erode(seg & band, erode_ksize)
 
     b = boxes.astype(jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-    rect = (
-        (rows >= b[:, 1, None, None])
-        & (rows < b[:, 3, None, None])
-        & (cols >= b[:, 0, None, None])
-        & (cols < b[:, 2, None, None])
-    )  # (N, H, W)
-    sel = rect & m[None]
-    cnt = jnp.sum(sel, axis=(1, 2))
-    total = jnp.sum(jnp.where(sel, depth[None], 0.0), axis=(1, 2))
+    if exact:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        rect = (
+            (rows >= b[:, 1, None, None])
+            & (rows < b[:, 3, None, None])
+            & (cols >= b[:, 0, None, None])
+            & (cols < b[:, 2, None, None])
+        )  # (N, H, W)
+        sel = rect & m[None]
+        cnt = jnp.sum(sel, axis=(1, 2))
+        total = jnp.sum(jnp.where(sel, depth[None], 0.0), axis=(1, 2))
+        values = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+        return values, cnt >= min_pixels
+
+    # S[i, j] = sum over rows < i, cols < j (one leading zero row/col).
+    def sat(x):
+        s = jnp.cumsum(jnp.cumsum(x, axis=0, dtype=jnp.float32), axis=1)
+        return jnp.pad(s, ((1, 0), (1, 0)))
+
+    sat_d = sat(jnp.where(m, depth, 0.0))
+    sat_c = sat(m.astype(jnp.float32))
+    x0 = jnp.clip(b[:, 0], 0, w)
+    x1 = jnp.clip(b[:, 2], 0, w)
+    y0 = jnp.clip(b[:, 1], 0, h)
+    y1 = jnp.clip(b[:, 3], 0, h)
+
+    def box_sums(s):
+        return s[y1, x1] - s[y0, x1] - s[y1, x0] + s[y0, x0]
+
+    cnt = jnp.maximum(jnp.round(box_sums(sat_c)).astype(jnp.int32), 0)
+    total = box_sums(sat_d)
     values = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
-    reliable = cnt >= min_pixels
-    return values, reliable
+    return values, cnt >= min_pixels

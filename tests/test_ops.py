@@ -171,7 +171,8 @@ class TestMaskedDepthValue:
             vals.append(0.0 if good_d.shape[0] == 0 else good_d.mean())
         return np.array(vals), np.array(rel)
 
-    def test_matches_reference_oracle(self, rng):
+    @pytest.mark.parametrize("exact", [True, False])
+    def test_matches_reference_oracle(self, rng, exact):
         h, w = 120, 160
         depth = rng.uniform(0.0, 3.5, size=(h, w)).astype(np.float32)
         seg = np.zeros((h, w), np.uint8)
@@ -180,10 +181,25 @@ class TestMaskedDepthValue:
         boxes = np.array([[25, 15, 105, 85], [115, 85, 155, 115], [0, 0, 10, 10]])
         got_v, got_r = (np.asarray(x) for x in masked_depth_value(
             jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(seg),
-            near_plane=0.1, far_plane=2.5))
+            near_plane=0.1, far_plane=2.5, exact=exact))
         want_v, want_r = self._oracle(boxes, depth, seg, 0.1, 2.5)
         np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(got_r, want_r)
+
+    def test_sat_matches_exact_at_frame_scale(self, rng):
+        """The summed-area fast path vs the reduction path on a 1080p-class
+        frame: identical reliability decisions, sub-0.5mm value drift."""
+        h, w = 540, 960
+        depth = rng.uniform(0.0, 3.5, size=(h, w)).astype(np.float32)
+        seg = (rng.random((h, w)) < 0.4).astype(np.uint8) * 255
+        boxes = np.array([[100, 80, 400, 380], [600, 200, 900, 500],
+                          [0, 0, 0, 0], [-10, -10, 2000, 2000]])
+        a_v, a_r = (np.asarray(x) for x in masked_depth_value(
+            jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(seg), exact=True))
+        b_v, b_r = (np.asarray(x) for x in masked_depth_value(
+            jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(seg), exact=False))
+        np.testing.assert_array_equal(a_r, b_r)
+        assert np.abs(a_v - b_v).max() < 5e-4
 
     def test_reliability_threshold_exact(self, rng):
         """Exactly 50 pixels is reliable; 49 is not (image_manipulation.py:76)."""
