@@ -21,7 +21,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--frames", type=int, default=16, help="frames per timed batch")
+    ap.add_argument("--frames", type=int, default=32, help="frames per timed batch")
     ap.add_argument("--iters", type=int, default=10, help="timed iterations")
     ap.add_argument("--max-det", type=int, default=16)
     ap.add_argument("--height", type=int, default=1080)
@@ -31,9 +31,16 @@ def main():
     # --crop 512 benches the reference-parity resolution.
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--with-detector", action="store_true",
+    ap.add_argument("--crop-region", type=int, default=448,
+                    help="fixed window sliced around each box for the crop "
+                         "sampling AND the masked depth pooling (exact while "
+                         "boxes fit; 0 = full-frame exact path)")
+    ap.add_argument("--with-detector", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="bench the FULL frame->poses graph including the "
-                         "YOLO11-seg detector (throughput is weight-independent)")
+                         "YOLO11-seg detector (throughput is weight-"
+                         "independent); --no-with-detector benches the "
+                         "boxes+mask->poses tail only")
     ap.add_argument("--det-size", type=int, default=640)
     ap.add_argument("--streaming", action="store_true",
                     help="feed each iteration's frames host->device (uint8 "
@@ -66,9 +73,10 @@ def main():
                                   width=args.width)
     frames = [render_frame(scene, orbit_camera(scene, 0.15 * i),
                            max_det=args.max_det) for i in range(args.frames)]
+    fast_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cfg = PipelineConfig(
-        max_det=args.max_det, crop_size=args.crop,
-        model_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        max_det=args.max_det, crop_size=args.crop, model_dtype=fast_dtype,
+        crop_region=args.crop_region or None, crop_dtype=fast_dtype)
     _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop,
                                 dtype=cfg.model_dtype)
 

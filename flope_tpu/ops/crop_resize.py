@@ -207,12 +207,19 @@ def crop_resize_with_mask(image: jax.Array, mask: jax.Array, boxes: jax.Array,
     return img_rs * (mask_rs / 255.0)
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "method", "quantize_uint8"))
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "method",
+                                             "quantize_uint8", "compute_dtype"))
 def resize_image(image: jax.Array, out_h: int, out_w: int,
-                 method: str = "bilinear", quantize_uint8: bool = False) -> jax.Array:
+                 method: str = "bilinear", quantize_uint8: bool = False,
+                 compute_dtype: Any = jnp.float32) -> jax.Array:
     """Whole-image resize with the same matmul machinery (used e.g. to scale
     the detector's proto-resolution mask up to frame resolution, matching
-    fast_pose_predictor.py:54's cv2.resize default INTER_LINEAR)."""
+    fast_pose_predictor.py:54's cv2.resize default INTER_LINEAR).
+
+    compute_dtype=jnp.bfloat16 runs the two sampling contractions on the MXU
+    in one pass (f32 accumulation); for uint8-range imagery the output drift
+    is sub-LSB — use it when the consumer is a bf16 model input or a
+    thresholded mask."""
     image = image.astype(jnp.float32)
     squeeze = image.ndim == 2
     if squeeze:
@@ -221,8 +228,12 @@ def resize_image(image: jax.Array, out_h: int, out_w: int,
     zero = jnp.zeros((1,), jnp.float32)
     wy = sampling_weights(zero, jnp.full((1,), float(h)), out_h, h, method)[0]
     wx = sampling_weights(zero, jnp.full((1,), float(w)), out_w, w, method)[0]
-    tmp = jnp.einsum("iy,ywc->iwc", wy, image, preferred_element_type=jnp.float32)
-    out = jnp.einsum("jw,iwc->ijc", wx, tmp, preferred_element_type=jnp.float32)
+    tmp = jnp.einsum("iy,ywc->iwc", wy.astype(compute_dtype),
+                     image.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("jw,iwc->ijc", wx.astype(compute_dtype),
+                     tmp.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
     if quantize_uint8:
         out = _quantize(out)
     return out[..., 0] if squeeze else out

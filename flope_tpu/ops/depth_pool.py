@@ -25,7 +25,7 @@ __all__ = ["masked_depth_value"]
 
 
 @functools.partial(jax.jit, static_argnames=("erode_ksize", "min_pixels",
-                                             "exact"))
+                                             "exact", "region_size"))
 def masked_depth_value(
     boxes: jax.Array,
     depth: jax.Array,
@@ -35,6 +35,7 @@ def masked_depth_value(
     erode_ksize: int = 10,
     min_pixels: int = 50,
     exact: bool = True,
+    region_size: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-box flower depth (meters) + reliability flags.
 
@@ -42,6 +43,16 @@ def masked_depth_value(
     slicing in the reference). depth: (H, W) float meters. seg_mask: (H, W)
     uint8 {0,255} or bool. Returns (values (N,), reliable (N,)).
     Padded/degenerate boxes yield value 0 and reliable=False naturally.
+
+    region_size=R slices a fixed RxR window centered on each box out of the
+    (frame-level) eroded mask and depth before the per-box reduction —
+    O(N*R^2) instead of O(N*H*W) work, exact while every box fits in R
+    (boxes larger than R are truncated to the window; same caveat as the
+    crop machinery's crop_region). Measured on v5e at 1080p x 16 det this is
+    NOT faster (12.1 vs 11.3 ms incl. erosion: XLA fuses the full-frame iota
+    rects into two streaming reductions, while the per-box dynamic slices
+    gather; the real cost there is the erosion itself) — kept for the
+    large-MAX_DET regime where O(N*HW) actually bites.
 
     exact=False switches to a summed-area-table path — one O(HW) cumsum pass
     per frame, then each box mean is 4 corner lookups instead of an O(N*H*W)
@@ -58,6 +69,27 @@ def masked_depth_value(
     m = erode(seg & band, erode_ksize)
 
     b = boxes.astype(jnp.int32)
+    if region_size is not None and region_size < min(h, w):
+        r = region_size
+        cx = (b[:, 0] + b[:, 2]) // 2
+        cy = (b[:, 1] + b[:, 3]) // 2
+        rx0 = jnp.clip(cx - r // 2, 0, w - r)
+        ry0 = jnp.clip(cy - r // 2, 0, h - r)
+
+        def one(bi, x0, y0):
+            d = jax.lax.dynamic_slice(depth, (y0, x0), (r, r))
+            mm = jax.lax.dynamic_slice(m, (y0, x0), (r, r))
+            rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) + y0
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + x0
+            rect = ((rows >= bi[1]) & (rows < bi[3])
+                    & (cols >= bi[0]) & (cols < bi[2]))
+            sel = rect & mm
+            return (jnp.sum(sel), jnp.sum(jnp.where(sel, d, 0.0)))
+
+        cnt, total = jax.vmap(one)(b, rx0, ry0)
+        values = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+        return values, cnt >= min_pixels
+
     if exact:
         rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)

@@ -72,6 +72,59 @@ def _rect_decomposition(ksize: int) -> tuple[tuple[int, int, int, int], ...]:
     return tuple(rects)
 
 
+@functools.lru_cache(maxsize=None)
+def _strided_kernel(ksize: int, block: int):
+    """Strided erosion-count kernel.
+
+    With the input padded by `anchor` on top/left (erosion-neutral ones), the
+    SE-covered-pixel count at output (block*yb+dy, block*xb+dx) is a stride-
+    `block` VALID conv with this (L, L, 1, block^2) kernel, L = block+ksize-1:
+    K[u, v, 0, (dy,dx)] = SE[u-dy, v-dx]. One output channel per sub-pixel
+    position, so the input needs NO space-to-depth reshuffle — only the small
+    boolean output gets unblocked. Returns (kernel, se_count).
+    """
+    se = ellipse_kernel(ksize)
+    length = block + ksize - 1
+    k = np.zeros((length, length, 1, block * block), np.float32)
+    for dy in range(block):
+        for dx in range(block):
+            for i in range(ksize):
+                for j in range(ksize):
+                    if se[i, j]:
+                        k[dy + i, dx + j, 0, dy * block + dx] += 1.0
+    return k, int(se.sum())
+
+
+def _erode_s2d(x: jax.Array, ksize: int, block: int = 8) -> jax.Array:
+    """One erosion pass as a single strided MXU convolution.
+
+    (H, W) bool -> bf16 (exact for 0/1 with f32 accumulation) -> one
+    stride-`block` conv against the precomputed count kernel (contraction
+    depth L^2, block^2 output channels) -> eroded = (count == |SE|),
+    unblocked from (H/b, W/b, b^2). True border = erosion-neutral.
+    """
+    h, w = x.shape
+    anchor = ksize // 2
+    kern, se_count = _strided_kernel(ksize, block)
+    length = kern.shape[0]
+    hb = -(-h // block)
+    wb = -(-w // block)
+    # VALID strided conv: input extent (hb-1)*block + L for hb output blocks.
+    pad_hi_y = (hb - 1) * block + length - anchor - h
+    pad_hi_x = (wb - 1) * block + length - anchor - w
+    padded = jnp.pad(x.astype(jnp.bfloat16),
+                     ((anchor, pad_hi_y), (anchor, pad_hi_x)),
+                     constant_values=1.0)
+    counts = jax.lax.conv_general_dilated(
+        padded[None, :, :, None], jnp.asarray(kern, jnp.bfloat16),
+        window_strides=(block, block), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)[0]
+    er = counts >= se_count - 0.5  # exact integer compare with f32 slack
+    er = er.reshape(hb, wb, block, block).transpose(0, 2, 1, 3)
+    return er.reshape(hb * block, wb * block)[:h, :w]
+
+
 @functools.partial(jax.jit, static_argnames=("ksize", "iterations"))
 def erode(mask: jax.Array, ksize: int = 3, iterations: int = 1) -> jax.Array:
     """Binary erosion with a cv2 elliptical SE; matches cv2.erode defaults.
@@ -80,14 +133,25 @@ def erode(mask: jax.Array, ksize: int = 3, iterations: int = 1) -> jax.Array:
     morphologyDefaultBorderValue is +inf for erosion). Anchor is the cv2
     default center (ksize//2), which for even kernels pads asymmetrically.
 
-    Implementation: union-of-rectangles decomposition of the SE; erosion by a
-    union of SEs is the intersection of the individual erosions, and each
-    rectangle erosion is a fast separable min-pool (reduce_window).
+    Two implementations, both exact:
+    * space-to-depth MXU convolution (`_erode_s2d`): the 2-D count of
+      SE-covered pixels as ONE multi-channel conv over 8x8-blocked pixels,
+      then threshold at |SE|. A plain single-channel conv was 88 ms/16
+      frames at 1080p (no MXU utilization); blocking gives the conv a
+      b^2-deep contraction and b^2 output channels.
+    * union-of-rectangles min-pools: erosion by a union of SEs is the AND of
+      the per-rectangle erosions; each rectangle is a reduce_window.
+      (8.7 ms/16 frames at 1080p — VPU-bound; kept for tiny images where the
+      blocked conv's fixed overhead dominates.)
     """
-    anchor = ksize // 2
     h, w = mask.shape
-    rects = _rect_decomposition(ksize)
     x = mask.astype(jnp.bool_)
+    if min(h, w) >= 128:
+        for _ in range(iterations):
+            x = _erode_s2d(x, ksize)
+        return x
+    anchor = ksize // 2
+    rects = _rect_decomposition(ksize)
     for _ in range(iterations):
         # True border = erosion-neutral (cv2's +inf default border).
         padded = jnp.pad(x, ksize, constant_values=True)

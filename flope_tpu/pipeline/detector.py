@@ -33,11 +33,11 @@ __all__ = ["yolo_detect", "detect_and_pose", "YoloJaxDetector", "TeacherDetector
 
 @functools.partial(jax.jit, static_argnames=("det_size", "max_det", "score_th",
                                              "iou_th", "scale", "num_classes",
-                                             "refine_boxes"))
+                                             "refine_boxes", "resize_dtype"))
 def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
                 max_det: int = 16, score_th: float = 0.25, iou_th: float = 0.7,
                 scale: str = "n", num_classes: int = 1,
-                refine_boxes: bool = False):
+                refine_boxes: bool = False, resize_dtype=jnp.float32):
     """One frame -> (boxes in frame coords, scores, valid, union mask at frame res).
 
     The frame is stretch-resized to (det_size, det_size) for the net (the
@@ -45,10 +45,14 @@ def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
     resize convention only needs self-consistency), boxes are mapped back to
     frame coordinates, and the union instance mask is upsampled to frame
     resolution like get_bbox_mask's cv2.resize (fast_pose_predictor.py:54).
+
+    resize_dtype=jnp.bfloat16 runs both resize contractions (1080p->det_size
+    frame, proto->frame mask) on the MXU in one pass; sub-LSB drift on the
+    0..255 scale, feeding a bf16 model and a >128-thresholded mask.
     """
     h, w = rgb.shape[0], rgb.shape[1]
     inp = resize_image(rgb.astype(jnp.float32), det_size, det_size,
-                       method="bilinear") / 255.0
+                       method="bilinear", compute_dtype=resize_dtype) / 255.0
     raw = Yolo11Seg(num_classes=num_classes, scale=scale).apply(
         yolo_variables, inp[None], train=False)
     dec = decode_predictions(raw)
@@ -59,7 +63,8 @@ def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
     sy = h / det_size
     boxes = post["boxes"].astype(jnp.float32) * jnp.asarray([sx, sy, sx, sy])
     boxes = jnp.clip(boxes, 0, jnp.asarray([w, h, w, h], jnp.float32))
-    mask = resize_image(post["union_mask"] * 255.0, h, w, method="bilinear")
+    mask = resize_image(post["union_mask"] * 255.0, h, w, method="bilinear",
+                        compute_dtype=resize_dtype)
     return (boxes.astype(jnp.int32), post["scores"], post["valid"],
             jnp.clip(mask, 0, 255))
 
@@ -80,7 +85,7 @@ def detect_and_pose(yolo_variables: dict, posenet_variables: dict,
     """
     boxes, _, valid, mask = yolo_detect(
         yolo_variables, rgb, det_size, config.max_det, score_th, iou_th, scale,
-        refine_boxes=refine_boxes)
+        refine_boxes=refine_boxes, resize_dtype=config.crop_dtype)
     return predict_frame(posenet_variables, rgb, depth_raw, boxes, valid,
                          mask, K, config)
 

@@ -72,6 +72,13 @@ def main(argv=None):
     depth_fn = jax.jit(lambda b, d, m: jax.vmap(
         lambda bb, dd, mm: masked_depth_value(bb, dd * 1e-3, mm)[0]
     )(b, d, m))
+    depth_region_fn = jax.jit(lambda b, d, m: jax.vmap(
+        lambda bb, dd, mm: masked_depth_value(bb, dd * 1e-3, mm,
+                                              region_size=args.region)[0]
+    )(b, d, m))
+    from flope_tpu.ops.morphology import erode
+    erode_fn = jax.jit(lambda m: jax.vmap(
+        lambda mm: erode(mm > 128, 10))(m))
     crops_fn = jax.jit(lambda r, m, b: jax.vmap(
         lambda rr, mm, bb: jnp.sum(crop_resize_with_mask(
             rr, mm, bb, out_size=args.crop, region_size=args.region,
@@ -85,7 +92,9 @@ def main(argv=None):
         v, r, d, b, va, m, K, cfg).poses))
 
     res = {}
+    res["erode_only"] = timeit(erode_fn, masks)
     res["erode_depth_pool"] = timeit(depth_fn, boxess, depths, masks)
+    res["erode_depth_region"] = timeit(depth_region_fn, boxess, depths, masks)
     res["crop_resize_mask"] = timeit(crops_fn, rgbs, masks, boxess)
     res["posenet_forward"] = timeit(pose_fn, pvars, crop_batch)
     res["full_tail"] = timeit(tail_fn, pvars, rgbs, depths, boxess, valids, masks)

@@ -43,6 +43,18 @@ class TestErode:
         got = np.asarray(erode(jnp.asarray(mask > 0), k))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("k", [3, 10, 11])
+    @pytest.mark.parametrize("shape", [(128, 128), (131, 250), (270, 480)])
+    def test_s2d_conv_path_matches_cv2(self, rng, k, shape):
+        """Images >= 128 px take the space-to-depth MXU-conv path; it must be
+        bit-identical to cv2 (incl. the erosion-neutral border and the even-
+        kernel anchor asymmetry) on non-block-aligned shapes."""
+        mask = (rng.random(shape) > 0.4).astype(np.uint8)
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+        want = cv2.erode(mask, kernel, iterations=1) > 0
+        got = np.asarray(erode(jnp.asarray(mask > 0), k))
+        np.testing.assert_array_equal(got, want)
+
     def test_blob_shrinks(self, rng):
         mask = np.zeros((60, 60), bool)
         mask[10:50, 10:50] = True
@@ -185,6 +197,23 @@ class TestMaskedDepthValue:
         want_v, want_r = self._oracle(boxes, depth, seg, 0.1, 2.5)
         np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(got_r, want_r)
+
+    def test_region_path_matches_exact(self, rng):
+        """The region-sliced fast path equals the full-frame reduction while
+        boxes fit inside the region window (the deployed configuration)."""
+        h, w = 540, 960
+        depth = rng.uniform(0.0, 3.5, size=(h, w)).astype(np.float32)
+        seg = np.zeros((h, w), np.uint8)
+        seg[60:400, 80:800] = 255
+        boxes = np.array([[100, 80, 300, 280], [600, 200, 820, 420],
+                          [0, 0, 0, 0], [850, 430, 958, 538]])
+        a_v, a_r = (np.asarray(x) for x in masked_depth_value(
+            jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(seg)))
+        b_v, b_r = (np.asarray(x) for x in masked_depth_value(
+            jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(seg),
+            region_size=256))
+        np.testing.assert_array_equal(a_r, b_r)
+        np.testing.assert_allclose(a_v, b_v, rtol=1e-6, atol=1e-6)
 
     def test_sat_matches_exact_at_frame_scale(self, rng):
         """The summed-area fast path vs the reduction path on a 1080p-class
