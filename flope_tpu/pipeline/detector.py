@@ -95,7 +95,7 @@ class YoloJaxDetector:
 
     def __init__(self, variables: dict, det_size: int = 640, max_det: int = 16,
                  score_th: float = 0.25, iou_th: float = 0.7, scale: str = "n",
-                 refine_boxes: bool = False):
+                 refine_boxes: bool = False, resize_dtype=jnp.float32):
         self.variables = variables
         self.det_size = det_size
         self.max_det = max_det
@@ -103,12 +103,13 @@ class YoloJaxDetector:
         self.iou_th = iou_th
         self.scale = scale
         self.refine_boxes = refine_boxes
+        self.resize_dtype = resize_dtype
 
     def detect(self, rgb: np.ndarray):
         boxes, _, valid, mask = yolo_detect(
             self.variables, jnp.asarray(rgb), self.det_size, self.max_det,
             self.score_th, self.iou_th, self.scale,
-            refine_boxes=self.refine_boxes)
+            refine_boxes=self.refine_boxes, resize_dtype=self.resize_dtype)
         return (np.asarray(boxes), np.asarray(valid),
                 np.asarray(mask).astype(np.uint8))
 

@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="score the deployed fast config exactly as bench.py "
+                         "runs it: crop_region 448 + bf16 model/crop/resize "
+                         "contractions")
     args = ap.parse_args(argv)
 
     from flope_tpu.utils.runtime import setup_jax
@@ -55,12 +59,19 @@ def main(argv=None):
         if args.yolo_ckpt:
             from flope_tpu.utils.checkpoint import load_ckpt
             yolo_v = load_ckpt(args.yolo_ckpt)
-        detector = YoloJaxDetector(yolo_v, det_size=args.det_size,
-                                   max_det=args.max_det,
-                                   score_th=args.score_th,
-                                   refine_boxes=args.refine_boxes)
+        import jax.numpy as jnp
+        detector = YoloJaxDetector(
+            yolo_v, det_size=args.det_size, max_det=args.max_det,
+            score_th=args.score_th, refine_boxes=args.refine_boxes,
+            resize_dtype=jnp.bfloat16 if args.fast else jnp.float32)
 
-    cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop)
+    if args.fast:
+        import jax.numpy as jnp
+        cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop,
+                             model_dtype=jnp.bfloat16, crop_region=448,
+                             crop_dtype=jnp.bfloat16)
+    else:
+        cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop)
     summary = evaluate_pipeline(
         variables, cfg,
         EvalConfig(n_frames=args.frames, n_flowers=args.flowers,
