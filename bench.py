@@ -35,6 +35,10 @@ def main():
                     help="fixed window sliced around each box for the crop "
                          "sampling AND the masked depth pooling (exact while "
                          "boxes fit; 0 = full-frame exact path)")
+    ap.add_argument("--crop-backend", default="pallas",
+                    choices=["xla", "pallas"],
+                    help="crop stage implementation: XLA region einsums or "
+                         "the fused Pallas HBM->VMEM kernel")
     ap.add_argument("--with-detector", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench the FULL frame->poses graph including the "
@@ -76,7 +80,8 @@ def main():
     fast_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cfg = PipelineConfig(
         max_det=args.max_det, crop_size=args.crop, model_dtype=fast_dtype,
-        crop_region=args.crop_region or None, crop_dtype=fast_dtype)
+        crop_region=args.crop_region or None, crop_dtype=fast_dtype,
+        crop_backend=args.crop_backend)
     _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop,
                                 dtype=cfg.model_dtype)
 
@@ -97,17 +102,16 @@ def main():
     # fences all iterations.
     if args.with_detector:
         from flope_tpu.models.yolo import init_yolo
-        from flope_tpu.pipeline.detector import detect_and_pose
+        from flope_tpu.pipeline.detector import detect_and_pose_frames
 
         _, yolo_v = init_yolo(jax.random.PRNGKey(1), image_size=args.det_size,
                               dtype=cfg.model_dtype)
 
         def run_and_reduce(variables, batch, K):
             rgbs, depths = batch[0], batch[1]
-            f = lambda r, d: detect_and_pose(
-                yolo_v, variables, r, d, K, det_size=args.det_size,
+            pred = detect_and_pose_frames(
+                yolo_v, variables, rgbs, depths, K, det_size=args.det_size,
                 score_th=0.0, config=cfg)
-            pred = jax.vmap(f)(rgbs, depths)
             return jnp.sum(pred.poses) + jnp.sum(pred.depth)
     else:
         def run_and_reduce(variables, batch, K):

@@ -13,6 +13,7 @@ import dataclasses
 import json
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from scipy.spatial.transform import Rotation as sciR
@@ -60,11 +61,22 @@ def evaluate_pipeline(posenet_variables: dict, pipeline_config: PipelineConfig,
             boxes, det_valid, mask = frame.boxes, frame.valid, frame.mask
         else:
             boxes, det_valid, mask = detector.detect(frame.rgb)
-        pred = predict_frame(
-            posenet_variables, jnp.asarray(frame.rgb),
-            jnp.asarray(frame.depth_mm), jnp.asarray(boxes),
-            jnp.asarray(det_valid), jnp.asarray(mask),
-            jnp.asarray(scene.K, jnp.float32), pipeline_config)
+        if pipeline_config.crop_backend == "pallas":
+            # The Pallas crop kernel only activates in the batched entry
+            # (it must not be vmapped) — evaluate via a singleton batch.
+            from flope_tpu.pipeline import predict_frames
+            batched = predict_frames(
+                posenet_variables, jnp.asarray(frame.rgb)[None],
+                jnp.asarray(frame.depth_mm)[None], jnp.asarray(boxes)[None],
+                jnp.asarray(det_valid)[None], jnp.asarray(mask)[None],
+                jnp.asarray(scene.K, jnp.float32), pipeline_config)
+            pred = jax.tree.map(lambda x: x[0], batched)
+        else:
+            pred = predict_frame(
+                posenet_variables, jnp.asarray(frame.rgb),
+                jnp.asarray(frame.depth_mm), jnp.asarray(boxes),
+                jnp.asarray(det_valid), jnp.asarray(mask),
+                jnp.asarray(scene.K, jnp.float32), pipeline_config)
 
         pv = np.asarray(pred.valid)
         gv = frame.valid

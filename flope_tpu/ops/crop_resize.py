@@ -49,7 +49,8 @@ _KERNELS = {"lanczos4": _lanczos4, "bilinear": _bilinear}
 
 
 def sampling_weights(start: jax.Array, size: jax.Array, out_size: int, in_size: int,
-                     method: str = "lanczos4") -> jax.Array:
+                     method: str = "lanczos4",
+                     valid_size: jax.Array | None = None) -> jax.Array:
     """Per-box 1-D resampling matrices.
 
     For box axis [start, start+size) resized to out_size, output index i
@@ -63,6 +64,13 @@ def sampling_weights(start: jax.Array, size: jax.Array, out_size: int, in_size: 
 
     start, size: (N,) floats (integer-valued for crop parity). Returns
     (N, out_size, in_size); degenerate boxes produce all-zero rows (finite).
+
+    valid_size: optional (N,) — taps at coordinates >= valid_size are DROPPED
+    before the fold (excluded from the folded mass; normalization rescales
+    the survivors). This reproduces, inside a window that extends past the
+    image, exactly what the windowless path does for boxes at the image
+    boundary, where out-of-image taps don't exist at all. Used by the Pallas
+    crop kernel, whose tile-aligned windows can cover padded rows/cols.
     """
     scale = (size / out_size)[:, None]  # (N,1)
     i = jax.lax.broadcasted_iota(jnp.float32, (1, out_size), 1)
@@ -92,6 +100,10 @@ def sampling_weights(start: jax.Array, size: jax.Array, out_size: int, in_size: 
         w = jnp.where(jnp.abs(x) < 4.0, val, 0.0)  # (N,out,in)
     else:
         w = _KERNELS[method](s[..., None] - ye)
+
+    if valid_size is not None:
+        ve = jax.lax.broadcasted_iota(jnp.float32, (1, 1, in_size), 2)
+        w = jnp.where(ve < valid_size[:, None, None], w, 0.0)
 
     # Box-edge replicate: move weight mass outside [start, start+size) onto the
     # first/last pixel of the box. Taps beyond kernel support are zero anyway.

@@ -25,10 +25,12 @@ import jax.numpy as jnp
 
 from flope_tpu.models.yolo import Yolo11Seg, decode_predictions, postprocess
 from flope_tpu.ops.crop_resize import resize_image
-from flope_tpu.pipeline.predictor import PipelineConfig, predict_frame
+from flope_tpu.pipeline.predictor import (PipelineConfig, predict_frame,
+                                          predict_frames)
 from flope_tpu.pipeline.types import FramePrediction
 
-__all__ = ["yolo_detect", "detect_and_pose", "YoloJaxDetector", "TeacherDetector"]
+__all__ = ["yolo_detect", "detect_and_pose", "detect_and_pose_frames",
+           "YoloJaxDetector", "TeacherDetector"]
 
 
 @functools.partial(jax.jit, static_argnames=("det_size", "max_det", "score_th",
@@ -88,6 +90,28 @@ def detect_and_pose(yolo_variables: dict, posenet_variables: dict,
         refine_boxes=refine_boxes, resize_dtype=config.crop_dtype)
     return predict_frame(posenet_variables, rgb, depth_raw, boxes, valid,
                          mask, K, config)
+
+
+@functools.partial(jax.jit, static_argnames=("det_size", "config", "score_th",
+                                             "iou_th", "scale", "refine_boxes"))
+def detect_and_pose_frames(yolo_variables: dict, posenet_variables: dict,
+                           rgbs: jax.Array, depths_raw: jax.Array,
+                           K: jax.Array, det_size: int = 640,
+                           score_th: float = 0.25, iou_th: float = 0.7,
+                           scale: str = "n", refine_boxes: bool = False,
+                           config: PipelineConfig = PipelineConfig()
+                           ) -> FramePrediction:
+    """Batched fused graph: (F, H, W, 3) frames -> (F, MAX_DET, 4, 4) poses.
+
+    Equivalent to vmapping `detect_and_pose`, but routes the tail through
+    `predict_frames` so config.crop_backend == "pallas" takes effect (the
+    Pallas crop kernel needs the explicit frame batch)."""
+    det = jax.vmap(lambda r: yolo_detect(
+        yolo_variables, r, det_size, config.max_det, score_th, iou_th, scale,
+        refine_boxes=refine_boxes, resize_dtype=config.crop_dtype))(rgbs)
+    boxes, _, valid, masks = det
+    return predict_frames(posenet_variables, rgbs, depths_raw, boxes, valid,
+                          masks, K, config)
 
 
 class YoloJaxDetector:

@@ -66,29 +66,22 @@ class PipelineConfig:
     # matmuls (+-1 uint8 LSB vs the float32 bit-parity path — see
     # ops/crop_resize.py), float32 = exact.
     crop_dtype: Any = jnp.float32
+    # "xla": region-sliced einsum crops (default). "pallas": the fused
+    # HBM->VMEM Pallas kernel (ops/crop_pallas.py) — only takes effect in
+    # predict_frames (the kernel needs the explicit frame batch; it must not
+    # be vmapped), requires crop_region set, measured ~1.3x faster at
+    # 16x1080p on v5e.
+    crop_backend: str = "xla"
 
     def teacher(self) -> "PipelineConfig":
         return dataclasses.replace(self, depth_scale=1.0 / 10000.0, filter_large=True)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def predict_frame(
-    variables: dict,
-    rgb: jax.Array,
-    depth_raw: jax.Array,
-    boxes: jax.Array,
-    det_valid: jax.Array,
-    seg_mask: jax.Array,
-    K: jax.Array,
-    config: PipelineConfig = PipelineConfig(),
-) -> FramePrediction:
-    """Fused detect-tail: boxes+mask -> per-flower 6-DoF camera-frame poses.
-
-    rgb: (H, W, 3) float/uint8 0..255. depth_raw: (H, W) sensor units.
-    boxes: (MAX_DET, 4) int xyxy. det_valid: (MAX_DET,). seg_mask: (H, W)
-    uint8 {0,255} or bool. K: (3, 3).
-    """
-    h, w = rgb.shape[0], rgb.shape[1]
+def _frame_geometry(depth_raw, boxes, det_valid, seg_mask, K, h, w,
+                    config: PipelineConfig):
+    """Stages 1-5 of the fused tail (everything before the crops): filters,
+    masked depth pooling, ray-depth lifting. Returns (valid, sq, uv, xyz,
+    depth_val)."""
     boxes = boxes.astype(jnp.int32)
     valid = det_valid.astype(bool)
 
@@ -115,20 +108,12 @@ def predict_frame(
 
     # 5. Ray-depth lifting (pose_predictor.py:135, mvg.py:387-408).
     xyz = points3d_from_ray_depth(uv, depth_val, K)
+    return boxes, valid, sq, uv, xyz, depth_val
 
-    # 6. Masked square crops on the MXU (pose_predictor.py:139-151).
-    crops = crop_resize_with_mask(
-        rgb.astype(jnp.float32), seg_mask.astype(jnp.float32), sq,
-        out_size=config.crop_size, method=config.resize_method,
-        region_size=config.crop_region, compute_dtype=config.crop_dtype,
-    ) / 255.0
 
-    # 7. PoseNet -> Procrustes -> yaw-nullify (pose_predictor.py:156-161).
-    r9 = PoseNet(dtype=config.model_dtype).apply(variables, crops, train=False)
-    rotmats = PoseNet.to_rotmats(r9, yaw_nullify=config.yaw_nullify)
-
-    # 8. Assemble (MAX_DET, 4, 4) poses (pose_predictor.py:172-174); invalid
-    #    slots get identity rotation + zero translation.
+def _assemble(valid, boxes, sq, uv, xyz, depth_val, rotmats) -> FramePrediction:
+    """Stage 8: (MAX_DET, 4, 4) poses (pose_predictor.py:172-174); invalid
+    slots get identity rotation + zero translation."""
     poses = pose_matrix(
         jnp.where(valid[:, None, None], rotmats, jnp.eye(3)),
         jnp.where(valid[:, None], xyz, 0.0),
@@ -146,6 +131,41 @@ def predict_frame(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def predict_frame(
+    variables: dict,
+    rgb: jax.Array,
+    depth_raw: jax.Array,
+    boxes: jax.Array,
+    det_valid: jax.Array,
+    seg_mask: jax.Array,
+    K: jax.Array,
+    config: PipelineConfig = PipelineConfig(),
+) -> FramePrediction:
+    """Fused detect-tail: boxes+mask -> per-flower 6-DoF camera-frame poses.
+
+    rgb: (H, W, 3) float/uint8 0..255. depth_raw: (H, W) sensor units.
+    boxes: (MAX_DET, 4) int xyxy. det_valid: (MAX_DET,). seg_mask: (H, W)
+    uint8 {0,255} or bool. K: (3, 3).
+    """
+    h, w = rgb.shape[0], rgb.shape[1]
+    boxes, valid, sq, uv, xyz, depth_val = _frame_geometry(
+        depth_raw, boxes, det_valid, seg_mask, K, h, w, config)
+
+    # 6. Masked square crops on the MXU (pose_predictor.py:139-151).
+    crops = crop_resize_with_mask(
+        rgb.astype(jnp.float32), seg_mask.astype(jnp.float32), sq,
+        out_size=config.crop_size, method=config.resize_method,
+        region_size=config.crop_region, compute_dtype=config.crop_dtype,
+    ) / 255.0
+
+    # 7. PoseNet -> Procrustes -> yaw-nullify (pose_predictor.py:156-161).
+    r9 = PoseNet(dtype=config.model_dtype).apply(variables, crops, train=False)
+    rotmats = PoseNet.to_rotmats(r9, yaw_nullify=config.yaw_nullify)
+
+    return _assemble(valid, boxes, sq, uv, xyz, depth_val, rotmats)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def predict_frames(variables, rgb, depth_raw, boxes, det_valid, seg_mask, K,
                    config: PipelineConfig = PipelineConfig()) -> FramePrediction:
     """Batched variant: leading frame axis on every array input (K shared).
@@ -153,7 +173,37 @@ def predict_frames(variables, rgb, depth_raw, boxes, det_valid, seg_mask, K,
     This is the unit of multi-camera scale-out: shard the frame axis over the
     mesh's 'stream' axis (flope_tpu.parallel.shard_pipeline) and XLA keeps the
     whole fleet of frames on-device.
+
+    With config.crop_backend == "pallas" the crop stage runs as ONE fused
+    Pallas kernel over the whole frame batch (ops/crop_pallas.py — the
+    kernel takes the batch explicitly because vmapping a pallas_call with
+    scalar prefetch mis-binds program_id), and PoseNet then consumes one
+    (F*MAX_DET) crop batch.
     """
+    h, w = rgb.shape[1], rgb.shape[2]
+    if (config.crop_backend == "pallas" and config.crop_region is not None
+            and config.crop_region < min(h, w)):
+        from flope_tpu.ops.crop_pallas import crop_resize_with_mask_pallas
+
+        geo = jax.vmap(lambda d, b, v, m: _frame_geometry(
+            d, b, v, m, K, h, w, config))(depth_raw, boxes, det_valid,
+                                          seg_mask)
+        boxes_i, valid, sq, uv, xyz, depth_val = geo
+        crops = crop_resize_with_mask_pallas(
+            rgb.astype(jnp.float32), seg_mask.astype(jnp.float32), sq,
+            out_size=config.crop_size, method=config.resize_method,
+            region_size=config.crop_region, compute_dtype=config.crop_dtype,
+            interpret=jax.default_backend() == "cpu",
+        ) / 255.0
+        f, n = crops.shape[0], crops.shape[1]
+        flat = crops.reshape(f * n, *crops.shape[2:])
+        r9 = PoseNet(dtype=config.model_dtype).apply(variables, flat,
+                                                     train=False)
+        rotmats = PoseNet.to_rotmats(
+            r9, yaw_nullify=config.yaw_nullify).reshape(f, n, 3, 3)
+        return jax.vmap(_assemble)(valid, boxes_i, sq, uv, xyz, depth_val,
+                                   rotmats)
+
     fn = lambda r, d, b, v, m: predict_frame(variables, r, d, b, v, m, K, config)
     return jax.vmap(fn)(rgb, depth_raw, boxes, det_valid, seg_mask)
 

@@ -36,6 +36,9 @@ def main(argv=None):
                     help="score the deployed fast config exactly as bench.py "
                          "runs it: crop_region 448 + bf16 model/crop/resize "
                          "contractions")
+    ap.add_argument("--crop-backend", default="xla", choices=["xla", "pallas"],
+                    help="crop stage implementation (pallas takes effect in "
+                         "batched prediction on TPU)")
     args = ap.parse_args(argv)
 
     from flope_tpu.utils.runtime import setup_jax
@@ -69,9 +72,11 @@ def main(argv=None):
         import jax.numpy as jnp
         cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop,
                              model_dtype=jnp.bfloat16, crop_region=448,
-                             crop_dtype=jnp.bfloat16)
+                             crop_dtype=jnp.bfloat16,
+                             crop_backend=args.crop_backend)
     else:
-        cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop)
+        cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop,
+                             crop_backend=args.crop_backend)
     summary = evaluate_pipeline(
         variables, cfg,
         EvalConfig(n_frames=args.frames, n_flowers=args.flowers,

@@ -136,6 +136,31 @@ class TestFusedPipeline:
                                       np.asarray(single.valid))
 
 
+    def test_pallas_crop_backend_matches_xla(self, posenet_vars, scene_frame):
+        """predict_frames with crop_backend='pallas' (interpret-mode kernel on
+        CPU) must agree with the XLA backend: identical validity, poses
+        within the crop machinery's +-1 uint8 LSB contract propagated through
+        the untrained PoseNet."""
+        import dataclasses
+        scene, frame = scene_frame
+        rgb = jnp.asarray(np.stack([frame.rgb, frame.rgb]))
+        dep = jnp.asarray(np.stack([frame.depth_mm, frame.depth_mm]))
+        box = jnp.asarray(np.stack([frame.boxes, frame.boxes]))
+        val = jnp.asarray(np.stack([frame.valid, frame.valid]))
+        msk = jnp.asarray(np.stack([frame.mask, frame.mask]))
+        K = jnp.asarray(scene.K, jnp.float32)
+        cfg_x = dataclasses.replace(CFG, crop_region=128)
+        cfg_p = dataclasses.replace(CFG, crop_region=128,
+                                    crop_backend="pallas")
+        a = predict_frames(posenet_vars, rgb, dep, box, val, msk, K, cfg_x)
+        b = predict_frames(posenet_vars, rgb, dep, box, val, msk, K, cfg_p)
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                                   atol=0.05)
+        np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                                   atol=1e-6)
+
+
 class FrameDetector:
     """Test detector handing out precomputed boxes+mask (the contract any
     detector — YOLO-JAX or host teacher — fulfills)."""
