@@ -33,8 +33,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--crop-region", type=int, default=448,
                     help="fixed window sliced around each box for the crop "
-                         "sampling AND the masked depth pooling (exact while "
-                         "boxes fit; 0 = full-frame exact path)")
+                         "sampling contractions (exact while boxes fit; "
+                         "0 = full-frame exact path). Depth pooling always "
+                         "runs the exact full-frame reduction.")
     ap.add_argument("--crop-backend", default="pallas",
                     choices=["xla", "pallas"],
                     help="crop stage implementation: XLA region einsums or "

@@ -123,6 +123,20 @@ def crop_resize_with_mask_pallas(
     n = boxes.shape[1]
     if r % 16:
         raise ValueError(f"region_size must be a multiple of 16, got {r}")
+    # VMEM budget guard: the double-buffered window scratch is
+    # 2*4*r*round_up(r,128)*itemsize bytes and must leave room for the
+    # pipelined weight/output blocks inside ~16 MB of VMEM. The deployed
+    # 448/bf16 config uses 3.7 MB; region 768 in f32 would need 18.9 MB and
+    # Mosaic would fail to allocate — fail early with guidance instead.
+    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
+    scratch_bytes = 2 * 4 * r * (-(-r // 128) * 128) * itemsize
+    if scratch_bytes > 12 * 1024 * 1024:
+        raise ValueError(
+            f"region_size={r} with {'bf16' if itemsize == 2 else 'f32'} "
+            f"windows needs {scratch_bytes / 2**20:.1f} MB of VMEM scratch "
+            f"(> 12 MB budget); use region_size <= "
+            f"{'768' if itemsize == 2 else '512'} or "
+            f"compute_dtype=jnp.bfloat16, or the XLA crop backend")
 
     b = boxes.reshape(fcount * n, 4).astype(jnp.float32)
     fidx = jnp.repeat(jnp.arange(fcount, dtype=jnp.int32), n)

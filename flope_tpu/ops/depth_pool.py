@@ -56,11 +56,16 @@ def masked_depth_value(
 
     exact=False switches to a summed-area-table path — one O(HW) cumsum pass
     per frame, then each box mean is 4 corner lookups instead of an O(N*H*W)
-    masked reduction. Counts stay exact (integer f32 differences), values
-    carry ~1e-4 m of cumsum rounding. Measured on TPU v5e at 1080p x 16 det
-    the fused reduction is FASTER (XLA fuses the iota rects; 2-D cumsum
-    lowers to slow lane-axis scans), so exact=True is the default; the SAT
-    path wins when MAX_DET is large (O(HW) vs O(N*HW)).
+    masked reduction. Counts stay exact while the masked-pixel count fits
+    f32 integers (< 2^24), but VALUE error grows with the running-sum
+    magnitude: at 1080p with a dense mask the cumsum reaches ~3e6 m where
+    one f32 ulp is 0.25, so a small box (cnt near min_pixels) can carry
+    centimeter-level error from a few ulps of corner cancellation — use
+    only when box areas are large relative to the frame sum, or keep
+    exact=True. Measured on TPU v5e at 1080p x 16 det the fused reduction
+    is FASTER anyway (XLA fuses the iota rects; 2-D cumsum lowers to slow
+    lane-axis scans), so exact=True is the default; the SAT path only wins
+    when MAX_DET is large (O(HW) vs O(N*HW)).
     """
     h, w = depth.shape
     depth = depth.astype(jnp.float32)

@@ -80,8 +80,8 @@ class PipelineConfig:
 def _frame_geometry(depth_raw, boxes, det_valid, seg_mask, K, h, w,
                     config: PipelineConfig):
     """Stages 1-5 of the fused tail (everything before the crops): filters,
-    masked depth pooling, ray-depth lifting. Returns (valid, sq, uv, xyz,
-    depth_val)."""
+    masked depth pooling, ray-depth lifting. Returns (boxes_int, valid, sq,
+    uv, xyz, depth_val)."""
     boxes = boxes.astype(jnp.int32)
     valid = det_valid.astype(bool)
 

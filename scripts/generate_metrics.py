@@ -75,8 +75,20 @@ def main(argv=None):
                              crop_dtype=jnp.bfloat16,
                              crop_backend=args.crop_backend)
     else:
+        # The pallas backend only activates when crop_region < min(H, W)
+        # (predict_frames falls back to XLA otherwise); the default region
+        # (768) never fires at the default 480x640 eval resolution, so pick
+        # the deployed 448 window when pallas is requested.
+        region = 448 if args.crop_backend == "pallas" else None
+        kw = {"crop_region": region} if region else {}
         cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop,
-                             crop_backend=args.crop_backend)
+                             crop_backend=args.crop_backend, **kw)
+    if args.crop_backend == "pallas" and (
+            cfg.crop_region is None
+            or cfg.crop_region >= min(args.height, args.width)):
+        print(f"warning: crop_region {cfg.crop_region} >= frame "
+              f"{args.width}x{args.height}; the pallas backend will fall "
+              f"back to the XLA crop path", file=sys.stderr)
     summary = evaluate_pipeline(
         variables, cfg,
         EvalConfig(n_frames=args.frames, n_flowers=args.flowers,

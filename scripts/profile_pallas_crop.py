@@ -2,7 +2,8 @@
 
 import _bootstrap  # noqa: F401
 import argparse
-import time
+
+from _profile_util import timeit
 
 
 def main(argv=None):
@@ -48,18 +49,6 @@ def main(argv=None):
         r, m, b, out_size=args.crop, region_size=args.region,
         compute_dtype=jnp.bfloat16, interpret=interp)))
 
-    def fence(x):
-        import jax.numpy as jnp
-        return float(jnp.sum(x))
-
-    def timeit(fn, *a, iters=10):
-        fence(fn(*a)); fence(fn(*a))
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(*a)
-        fence(out)
-        return (time.perf_counter() - t0) / iters * 1e3
 
     # Correctness first (bf16 paths should agree closely).
     a = jax.vmap(lambda rr, mm, bb: crop_resize_with_mask(
@@ -79,26 +68,3 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
-
-# Appended experiment: isolate the planar->NHWC transpose cost.
-def transpose_probe(argv=None):
-    import argparse
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=4)
-    args = ap.parse_args(argv)
-    from flope_tpu.utils.runtime import setup_jax
-    setup_jax(cpu=False)
-    import jax, time
-    import jax.numpy as jnp
-    import numpy as np
-    x = jnp.asarray(np.random.default_rng(0).uniform(
-        0, 255, (args.frames * 16, 3, 256, 256)).astype(np.float32))
-    f = jax.jit(lambda v: jnp.sum(v.transpose(0, 2, 3, 1) / 255.0))
-    float(f(x)); float(f(x))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(10):
-        out = f(x)
-    float(out)
-    print(f"planar->NHWC transpose ({x.shape}): "
-          f"{(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")

@@ -8,22 +8,8 @@ guesses.
 
 import _bootstrap  # noqa: F401  (repo-root sys.path)
 import argparse
-import time
 
-
-def fence(x):
-    import jax.numpy as jnp
-    return float(jnp.sum(x[0] if isinstance(x, tuple) else x).astype(jnp.float32))
-
-
-def timeit(fn, *args, iters=10):
-    fence(fn(*args)); fence(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    fence(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+from _profile_util import timeit
 
 
 def main(argv=None):
