@@ -111,6 +111,47 @@ class TestLossAndLearning:
         assert np.isfinite(float(total2))
         assert float(parts2["box"]) == 0.0
 
+    def test_seg_loss_topk_gather_is_exact(self, setup):
+        """The seg loss gathers a top-K anchor superset before the mask BCE
+        (the old all-anchor formulation OOM'd at det 640). Oracle: recompute
+        the seg term over ALL anchors and assert the production loss
+        matches — valid because task-aligned assignment bounds fg anchors
+        at topk * MAX_GT, all of which the gather covers."""
+        import optax as _optax
+        from flope_tpu.models.yolo import decode_predictions
+        model, v, _, _ = setup
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+        raw = model.apply(v, img, train=False)
+        gtb = jnp.asarray([[[8.0, 8, 30, 30], [34, 20, 60, 52],
+                            [12, 40, 28, 60], [0, 0, 0, 0]]])
+        gtv = jnp.asarray([[True, True, True, False]])
+        gtm = jnp.asarray(rng.random((1, 4, 16, 16)) < 0.4, jnp.float32)
+        _, parts = yolo_loss(raw, gtb, gtv, gtm, CFG)
+
+        # Full-anchor oracle for the seg term (image 0).
+        anchor_pts, _ = make_anchors(CFG.image_size)
+        dec = decode_predictions(raw)
+        asg = assign_targets(anchor_pts, dec["boxes"][0],
+                             dec["scores"][0][:, 0], gtb[0], gtv[0], CFG)
+        fg = asg["fg"]
+        n_fg = jnp.maximum(jnp.sum(asg["cls_target"]), 1.0)
+        proto = raw["proto"][0]
+        hp, wp = proto.shape[0], proto.shape[1]
+        pm = jnp.einsum("am,hwm->ahw", dec["mc"][0], proto)
+        tm = gtm[0][asg["gt_idx"]]
+        bce = _optax.sigmoid_binary_cross_entropy(pm, tm)
+        bx = gtb[0][asg["gt_idx"]] / 4.0
+        ys = jax.lax.broadcasted_iota(jnp.float32, (1, hp, 1), 1)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, wp), 2)
+        in_box = ((xs >= bx[:, 0, None, None]) & (xs < bx[:, 2, None, None])
+                  & (ys >= bx[:, 1, None, None]) & (ys < bx[:, 3, None, None]))
+        area = jnp.maximum((bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1]), 1.0)
+        per = jnp.sum(jnp.where(in_box, bce, 0.0), axis=(1, 2)) / area
+        want = float(jnp.sum(jnp.where(fg, per, 0.0)) / n_fg)
+        assert int(np.asarray(fg).sum()) > 0  # the oracle must be non-trivial
+        np.testing.assert_allclose(float(parts["seg"]), want, rtol=1e-5)
+
     def test_train_step_learns_on_fixed_batch(self, setup):
         _, v, tx, step = setup
         rng = np.random.default_rng(0)
