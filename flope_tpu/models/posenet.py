@@ -30,11 +30,15 @@ class PoseNet(nn.Module):
     backbone_out_dim: int = 2048
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    # Exact space-to-depth stem reparametrization (see models/resnet.py):
+    # same params/checkpoints, better MXU utilization; inference-time knob.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, 3) float in [0, 1] -> (B, 9) unconstrained rotation."""
-        feats = ResNet18(dtype=self.dtype, name="backbone")(x, train=train)
+        feats = ResNet18(dtype=self.dtype, s2d_stem=self.s2d_stem,
+                         name="backbone")(x, train=train)
         feats = nn.Dense(self.backbone_out_dim, name="fc")(feats)
         feats = nn.relu(feats)
         if self.dropout > 0:

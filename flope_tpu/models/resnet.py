@@ -58,16 +58,66 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
+class _StemKernel(nn.Module):
+    """Bare (7,7,3,64) kernel param at the same tree path nn.Conv('conv1')
+    would create — lets the s2d stem reuse standard checkpoints verbatim."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
+def _s2d_stem_kernel(w: jax.Array) -> jax.Array:
+    """Exact space-to-depth reparametrization of the 7x7/2 stem conv.
+
+    A stride-2 7x7 conv over (H, W, 3) equals a stride-1 4x4 conv over the
+    2x2 space-to-depth view (H/2, W/2, 12): source pixel offset u = i - 3
+    decomposes as u = 2q + dy with q in [-2, 1], dy in {0, 1}, so original
+    tap (i, j, c) lands at block tap (q+2, p+2) on packed channel
+    (dy*2+dx)*3 + c; never-read sub-positions stay zero. Same 9.4k params,
+    16x deeper contraction (4*4*12=192 vs 7*7*3=147 is modest — the real
+    win is feeding the MXU 12 input channels instead of 3).
+    """
+    ks = jnp.zeros((4, 4, 12, 64), w.dtype)
+    for i in range(7):
+        qi, dy = divmod(i - 3, 2)
+        for j in range(7):
+            qj, dx = divmod(j - 3, 2)
+            cc = (dy * 2 + dx) * 3
+            ks = ks.at[qi + 2, qj + 2, cc:cc + 3, :].set(w[i, j])
+    return ks
+
+
 class ResNet18(nn.Module):
-    """Feature extractor: (B, H, W, 3) -> (B, 512) after global average pool."""
+    """Feature extractor: (B, H, W, 3) -> (B, 512) after global average pool.
+
+    s2d_stem=True runs the stem conv on the 2x2 space-to-depth input view
+    with the exactly-reparametrized kernel (`_s2d_stem_kernel`) — identical
+    math and identical parameter tree (checkpoints interchange), much
+    better MXU utilization for the 3-channel first layer. Requires even
+    H, W.
+    """
 
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.s2d_stem:
+            w = _StemKernel(name="conv1")()
+            b, h, ww = x.shape[0], x.shape[1], x.shape[2]
+            xs = x.reshape(b, h // 2, 2, ww // 2, 2, 3)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h // 2, ww // 2, 12)
+            x = jax.lax.conv_general_dilated(
+                xs, _s2d_stem_kernel(w).astype(self.dtype),
+                window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)

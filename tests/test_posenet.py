@@ -125,6 +125,21 @@ class TestPoseNetModel:
         out = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
         assert out.shape == (2, 9)
 
+    def test_s2d_stem_exact_and_checkpoint_compatible(self, rng):
+        """The space-to-depth stem is an exact reparametrization of the same
+        conv1 kernel: identical outputs (f32 reassociation only) and an
+        identical parameter tree, so checkpoints interchange between the
+        two stem implementations."""
+        model, variables = init_posenet(jax.random.key(0), image_size=64)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+        a = PoseNet().apply(variables, x, train=False)
+        b = PoseNet(s2d_stem=True).apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        v2 = PoseNet(s2d_stem=True).init(jax.random.key(1), x, train=False)
+        ta = jax.tree.structure(variables)
+        tb = jax.tree.structure(v2)
+        assert ta == tb
+
     def test_to_rotmats_valid(self, rng):
         r9 = jnp.asarray(rng.normal(size=(5, 9)).astype(np.float32))
         R = PoseNet.to_rotmats(r9)
