@@ -204,11 +204,19 @@ def crop_resize_with_mask_pallas(
     # <= 255) are exact in bf16, the mask product rounds at the same 8-bit
     # precision the model input cast would apply anyway, and the planar ->
     # NHWC transpose moves half the bytes (measured 2.8 ms f32 at 16x1080p).
+    n_steps = fcount * n
+    cost = pl.CostEstimate(
+        flops=2 * n_steps * 4 * (out_size * r * rw + out_size * out_size * rw),
+        bytes_accessed=n_steps * (4 * r * rw + 2 * out_size * (r + rw)
+                                  + 3 * out_size * out_size) * itemsize,
+        transcendentals=0,
+    )
     crops = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((fcount * n, 3, out_size, out_size),
+        out_shape=jax.ShapeDtypeStruct((n_steps, 3, out_size, out_size),
                                        store),
         grid_spec=grid_spec,
+        cost_estimate=cost,
         interpret=interpret,
     )(fidx, ry, rx, frames, wy.astype(store),
       wx.astype(store).transpose(0, 2, 1))
