@@ -124,6 +124,14 @@ def crop_resize_with_mask_pallas(
     n = boxes.shape[1]
     if r % 16:
         raise ValueError(f"region_size must be a multiple of 16, got {r}")
+    h_pad = -(-h // 16) * 16
+    rw = -(-r // 128) * 128
+    w_pad = max(-(-w // 128) * 128, rw)
+    if r > h_pad:
+        raise ValueError(
+            f"region_size={r} exceeds the padded frame height {h_pad} "
+            f"(frame {h}x{w}); window origins would go negative. Use "
+            f"region_size <= {h_pad} or the XLA crop backend")
     # VMEM budget guard: the double-buffered window scratch is
     # 2*4*r*round_up(r,128)*itemsize bytes and must leave room for the
     # pipelined weight/output blocks inside ~16 MB of VMEM. The deployed
@@ -151,9 +159,6 @@ def crop_resize_with_mask_pallas(
     # stay aligned — padded pixels carry zero weight after box-edge folding
     # (the box itself is always inside the real image), so their content
     # never leaks.
-    h_pad = -(-h // 16) * 16
-    rw = -(-r // 128) * 128
-    w_pad = max(-(-w // 128) * 128, rw)
     ry = jnp.clip(jnp.round(cy - r / 2.0), 0, h_pad - r).astype(jnp.int32)
     ry = (ry // 16) * 16
     ry = ry + 16 * jnp.ceil(

@@ -44,7 +44,9 @@ def masked_depth_value(
     uint8 {0,255} or bool. Returns (values (N,), reliable (N,)).
     Padded/degenerate boxes yield value 0 and reliable=False naturally.
 
-    region_size=R slices a fixed RxR window centered on each box out of the
+    region_size=R takes precedence over the exact/SAT choice (combining
+    region_size with exact=False raises). It slices a fixed RxR window
+    centered on each box out of the
     (frame-level) eroded mask and depth before the per-box reduction —
     O(N*R^2) instead of O(N*H*W) work, exact while every box fits in R
     (boxes larger than R are truncated to the window; same caveat as the
@@ -67,6 +69,10 @@ def masked_depth_value(
     lane-axis scans), so exact=True is the default; the SAT path only wins
     when MAX_DET is large (O(HW) vs O(N*HW)).
     """
+    if region_size is not None and not exact:
+        raise ValueError(
+            "region_size takes the windowed-reduction path and ignores the "
+            "SAT path; pass exact=False OR region_size, not both")
     h, w = depth.shape
     depth = depth.astype(jnp.float32)
     band = (depth > near_plane) & (depth < far_plane)

@@ -25,7 +25,8 @@ _LABELS = ["x", "y", "z", "qx", "qy", "qz", "qw"]
 
 class LiveStatePlot:
     def __init__(self, max_tracks: int = 8, out_png: str | os.PathLike = "live_state.png",
-                 redraw_every: int = 1, interactive: bool | None = None):
+                 redraw_every: int = 1, interactive: bool | None = None,
+                 history_frames: int = 2000):
         import matplotlib
 
         self.out_png = Path(out_png)
@@ -36,11 +37,15 @@ class LiveStatePlot:
             matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        from collections import deque
+
         self._plt = plt
         self.interactive = interactive
         self.max_tracks = max_tracks
-        self.history: list[np.ndarray] = []   # per frame: (S, 7) state copies
-        self.alive_hist: list[np.ndarray] = []  # per frame: (S,) bool
+        # Rolling window: unbounded history would grow memory and redraw
+        # cost linearly in session length (long streaming runs).
+        self.history: deque[np.ndarray] = deque(maxlen=history_frames)
+        self.alive_hist: deque[np.ndarray] = deque(maxlen=history_frames)
         self.fig, self.axs = plt.subplots(1, 7, figsize=(21, 3))
         if interactive:
             plt.ion()
@@ -61,15 +66,16 @@ class LiveStatePlot:
         self._redraw()
 
     def _redraw(self) -> None:
-        hist = np.stack(self.history)          # (T, S, 7)
+        hist = np.stack(self.history)          # (T, S, 7) rolling window
         alive = np.stack(self.alive_hist)      # (T, S)
+        t0 = self._frames - len(self.history)  # absolute frame of window[0]
         ever = np.where(alive.any(axis=0))[0][: self.max_tracks]
         for i, ax in enumerate(self.axs):
             ax.clear()
             ax.set_title(_LABELS[i])
             for s in ever:
                 seen = alive[:, s]
-                t = np.where(seen)[0]
+                t = np.where(seen)[0] + t0
                 ax.plot(t, hist[seen, s, i], label=f"track {s}")
         if len(ever):
             self.axs[0].legend(fontsize=6)

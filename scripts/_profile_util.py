@@ -11,11 +11,13 @@ import time
 
 
 def fence(x) -> float:
-    """Host-readback fence over any nest of dict/tuple/list/array."""
+    """Host-readback fence over any pytree of arrays."""
+    import jax
     import jax.numpy as jnp
-    while isinstance(x, (dict, tuple, list)):
-        x = next(iter(x.values())) if isinstance(x, dict) else x[0]
-    return float(jnp.sum(x).astype(jnp.float32))
+    leaves = jax.tree.leaves(x)
+    if not leaves:
+        return 0.0
+    return float(jnp.sum(leaves[0]).astype(jnp.float32))
 
 
 def timeit(fn, *args, iters: int = 10) -> float:

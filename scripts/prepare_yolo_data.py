@@ -48,9 +48,13 @@ def main(argv=None):
     samples = []  # (name, rgb, mask, boxes)
     if args.synthetic:
         rng = np.random.default_rng(args.seed)
-        per_scene = max(args.synthetic // max(args.scenes, 1), 1)
+        n_scenes = max(args.scenes, 1)
+        base, extra = divmod(args.synthetic, n_scenes)
         i = 0
-        for s in range(max(args.scenes, 1)):
+        for s in range(n_scenes):
+            # First `extra` scenes take one more frame so exactly
+            # --synthetic samples are produced.
+            per_scene = max(base + (1 if s < extra else 0), 1)
             scene = SyntheticScene.random(
                 rng, n_flowers=int(rng.integers(3, 10)),
                 height=args.height, width=args.width)

@@ -1,6 +1,11 @@
 """End-to-end CLI chain on a synthetic dataset (the reference's offline
 pipeline protocol: test_posenet -> extract_depth -> align_measurements ->
-kalman_filter -> plot_measurements), asserting world-frame recovery."""
+kalman_filter -> plot_measurements), asserting world-frame recovery.
+
+The chain runs ONCE as a module fixture so every test is order-independent
+(safe under ``pytest -n`` and per-test invocation): tests assert over the
+fixture's artifacts instead of consuming a previous test's side effects.
+"""
 
 import pickle
 import subprocess
@@ -28,15 +33,25 @@ def dataset(tmp_path_factory):
     return out
 
 
+@pytest.fixture(scope="module")
+def pipeline_outputs(dataset):
+    """Run the full offline chain once; yields the dataset dir with
+    detection/, depth_val/, aligned/, vis_gt/ populated."""
+    d = str(dataset)
+    run("test_posenet.py", "--data-dir", d, "--detector", "mask",
+        "--crop", "64", "--max-det", "8", "--cpu")
+    run("extract_depth.py", "--data-dir", d)
+    run("align_measurements.py", "--data-dir", d, "--score-th", "2")
+    run("kalman_filter.py", "--data-dir", d)
+    run("plot_measurements.py", "--data-dir", d)
+    return dataset
+
+
 class TestOfflinePipelineChain:
-    def test_full_chain_recovers_world_positions(self, dataset):
-        d = str(dataset)
-        run("test_posenet.py", "--data-dir", d, "--detector", "mask",
-            "--crop", "64", "--max-det", "8", "--cpu")
+    def test_full_chain_recovers_world_positions(self, pipeline_outputs):
+        dataset = pipeline_outputs
         assert (dataset / "detection" / "frame_00000.txt").exists()
-        run("extract_depth.py", "--data-dir", d)
         assert (dataset / "depth_val" / "frame_00000.txt").exists()
-        run("align_measurements.py", "--data-dir", d, "--score-th", "2")
         with open(dataset / "aligned" / "average_poses.pkl", "rb") as f:
             avg = pickle.load(f)
         gt = np.load(dataset / "gt_poses.npy")
@@ -44,13 +59,11 @@ class TestOfflinePipelineChain:
         dmin = np.linalg.norm(avg["trans"][:, None] - gt[None, :, :3, 3],
                               axis=-1).min(axis=1)
         assert (dmin < 0.005).all(), dmin
-        run("kalman_filter.py", "--data-dir", d)
         assert (dataset / "aligned" / "measurements_quat_filter.pkl").exists()
-        run("plot_measurements.py", "--data-dir", d)
         assert (dataset / "vis_gt" / "frame_00000.png").exists()
 
-    def test_vis_and_distribution_tools(self, dataset):
-        run("vis_gt_poses.py", "--data-dir", str(dataset))
-        out = run("get_flower_distribution.py", "--data-dir", str(dataset),
-                  "--min-observations", "2")
+    def test_vis_and_distribution_tools(self, pipeline_outputs):
+        run("vis_gt_poses.py", "--data-dir", str(pipeline_outputs))
+        out = run("get_flower_distribution.py", "--data-dir",
+                  str(pipeline_outputs), "--min-observations", "2")
         assert "var[x]" in out
