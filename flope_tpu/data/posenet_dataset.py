@@ -61,7 +61,8 @@ def load_crop_dataset(path: str | Path, test: bool = False,
 
 def synthetic_crops(n: int, size: int = 512, seed: int = 0,
                     yaw_nullified: bool = True,
-                    box_jitter: float = 0.0) -> dict:
+                    box_jitter: float = 0.0,
+                    domain=None) -> dict:
     """Exact-GT crop dataset from the synthetic flower shader.
 
     Crops are rendered with FULL random rotations (including yaw — that's what
@@ -91,15 +92,25 @@ def synthetic_crops(n: int, size: int = 512, seed: int = 0,
     else:
         offs = np.zeros((n, 2))
         fills = np.ones(n)
-    # Native batched renderer when a toolchain exists (~20x on this 1-CPU
-    # host; parity-tested vs the numpy path in tests/test_native.py).
-    from flope_tpu.native import render_crops_native
-    images = render_crops_native(R_full, offs, fills, size)
-    if images is None:
+    if domain is not None and not domain.is_flat():
+        # Hard-domain crops (petals, foliage leak, lighting/noise/blur) —
+        # per-crop rng so the dataset is reproducible and iid.
         images = np.stack([
             render_flower_crop(R_full[i], size, fill=float(fills[i]),
-                               center_offset=(float(offs[i, 0]), float(offs[i, 1])))
+                               center_offset=(float(offs[i, 0]), float(offs[i, 1])),
+                               domain=domain,
+                               rng=np.random.default_rng((seed << 20) + i))
             for i in range(n)])
+    else:
+        # Native batched renderer when a toolchain exists (~20x on this 1-CPU
+        # host; parity-tested vs the numpy path in tests/test_native.py).
+        from flope_tpu.native import render_crops_native
+        images = render_crops_native(R_full, offs, fills, size)
+        if images is None:
+            images = np.stack([
+                render_flower_crop(R_full[i], size, fill=float(fills[i]),
+                                   center_offset=(float(offs[i, 0]), float(offs[i, 1])))
+                for i in range(n)])
     t = np.zeros((n, 3))
     t[:, 2] = rng.uniform(0.3, 1.5, size=n)
     # Fake crop intrinsics like the reference's fixed fx=fy=2433, c=size/2

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from scipy.spatial.transform import Rotation as sciR
 
-from flope_tpu.data.synthetic import SyntheticScene, render_frame, orbit_camera
+from flope_tpu.data.synthetic import (DomainConfig, SyntheticScene,
+                                      render_frame, orbit_camera)
 from flope_tpu.eval.metrics import MetricAccumulator, MetricThresholds
 from flope_tpu.geometry import nullify_yaw
 from flope_tpu.pipeline import PipelineConfig, predict_frame
@@ -34,6 +35,7 @@ class EvalConfig:
     width: int = 640
     seed: int = 0
     max_det: int = 16
+    domain: str = "flat"          # rendering-domain preset (flat|hard)
     thresholds: MetricThresholds = dataclasses.field(default_factory=MetricThresholds)
     log_path: str | None = None
 
@@ -49,7 +51,8 @@ def evaluate_pipeline(posenet_variables: dict, pipeline_config: PipelineConfig,
     """
     rng = np.random.default_rng(eval_config.seed)
     scene = SyntheticScene.random(rng, eval_config.n_flowers,
-                                  eval_config.height, eval_config.width)
+                                  eval_config.height, eval_config.width,
+                                  domain=DomainConfig.named(eval_config.domain))
     acc = MetricAccumulator(eval_config.thresholds)
     logf = open(eval_config.log_path, "w") if eval_config.log_path else None
 

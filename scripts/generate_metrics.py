@@ -25,6 +25,13 @@ def main(argv=None):
                          "boxes (in-graph)")
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--flowers", type=int, default=5)
+    ap.add_argument("--domain", default="flat", choices=["flat", "hard"],
+                    help="rendering-domain preset: hard = petal flowers, "
+                         "foliage clutter, occluding leaves, lighting/noise/"
+                         "blur (data/synthetic.py::DomainConfig.hard)")
+    ap.add_argument("--scenes", type=int, default=1,
+                    help="evaluate N held-out scene seeds (seed..seed+N-1) "
+                         "and report per-scene + mean/std aggregates")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--crop", type=int, default=512)
@@ -89,13 +96,30 @@ def main(argv=None):
         print(f"warning: crop_region {cfg.crop_region} >= frame "
               f"{args.width}x{args.height}; the pallas backend will fall "
               f"back to the XLA crop path", file=sys.stderr)
-    summary = evaluate_pipeline(
-        variables, cfg,
-        EvalConfig(n_frames=args.frames, n_flowers=args.flowers,
-                   height=args.height, width=args.width, seed=args.seed,
-                   max_det=args.max_det, log_path=args.log),
-        detector=detector)
-    print(json.dumps(summary, indent=2))
+    summaries = []
+    for scene_i in range(args.scenes):
+        log = args.log
+        if log and args.scenes > 1:
+            log = f"{log}.scene{scene_i}"
+        summary = evaluate_pipeline(
+            variables, cfg,
+            EvalConfig(n_frames=args.frames, n_flowers=args.flowers,
+                       height=args.height, width=args.width,
+                       seed=args.seed + scene_i, domain=args.domain,
+                       max_det=args.max_det, log_path=log),
+            detector=detector)
+        summary["seed"] = args.seed + scene_i
+        summaries.append(summary)
+    if args.scenes == 1:
+        print(json.dumps(summaries[0], indent=2))
+        return
+    import numpy as np
+    keys = [k for k in summaries[0] if k not in ("seed", "frames")]
+    agg = {"scenes": args.scenes, "domain": args.domain,
+           "per_scene": summaries,
+           "mean": {k: float(np.nanmean([s[k] for s in summaries])) for k in keys},
+           "std": {k: float(np.nanstd([s[k] for s in summaries])) for k in keys}}
+    print(json.dumps(agg, indent=2))
 
 
 if __name__ == "__main__":

@@ -30,11 +30,15 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--domain", default="flat", choices=["flat", "hard"],
+                    help="synthetic rendering-domain preset (hard = foliage "
+                         "clutter, occluders, lighting/noise/blur)")
     args = ap.parse_args(argv)
 
     from PIL import Image
 
-    from flope_tpu.data.synthetic import SyntheticScene, orbit_camera, render_frame
+    from flope_tpu.data.synthetic import (DomainConfig, SyntheticScene,
+                                          orbit_camera, render_frame)
     from flope_tpu.data.yolo_labels import (dataset_sanity_check,
                                             write_yolo_dataset_yaml,
                                             write_yolo_seg_labels)
@@ -57,7 +61,8 @@ def main(argv=None):
             per_scene = max(base + (1 if s < extra else 0), 1)
             scene = SyntheticScene.random(
                 rng, n_flowers=int(rng.integers(3, 10)),
-                height=args.height, width=args.width)
+                height=args.height, width=args.width,
+                domain=DomainConfig.named(args.domain))
             for j in range(per_scene):
                 if i >= args.synthetic:
                     break

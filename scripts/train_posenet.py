@@ -19,6 +19,9 @@ def main(argv=None):
     ap.add_argument("--box-jitter", type=float, default=0.0,
                     help="synthetic crops: random center/scale jitter fraction "
                          "(emulates imperfect detector boxes)")
+    ap.add_argument("--domain", default="flat", choices=["flat", "hard"],
+                    help="synthetic crop rendering domain (hard = petal "
+                         "flowers, foliage mask leak, lighting/noise/blur)")
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -46,11 +49,14 @@ def main(argv=None):
     from flope_tpu.parallel import make_mesh
     from flope_tpu.train import TrainConfig, train_posenet
 
+    from flope_tpu.data.synthetic import DomainConfig
+    domain = DomainConfig.named(args.domain)
     if args.synthetic and not args.data_dir:
         train = synthetic_crops(args.synthetic, args.image_size, args.seed,
-                                box_jitter=args.box_jitter)
+                                box_jitter=args.box_jitter, domain=domain)
         evald = synthetic_crops(max(args.synthetic // 5, 4), args.image_size,
-                                args.seed + 1, box_jitter=args.box_jitter)
+                                args.seed + 1, box_jitter=args.box_jitter,
+                                domain=domain)
     else:
         assert args.data_dir, "need --data-dir or --synthetic N"
         train = load_crop_dataset(args.data_dir, test=False)
@@ -59,7 +65,7 @@ def main(argv=None):
             # Mix in synthetic crops (e.g. 1:1 with a small matched set).
             import numpy as np
             syn = synthetic_crops(args.synthetic, args.image_size, args.seed,
-                                  box_jitter=args.box_jitter)
+                                  box_jitter=args.box_jitter, domain=domain)
             train = {k: np.concatenate([train[k], syn[k]])
                      for k in ("images", "rotations", "translations",
                                "intrinsics")}
