@@ -20,3 +20,9 @@ from flope_tpu.tracking.running_average import (
 )
 from flope_tpu.tracking.offline import smooth_quaternions
 from flope_tpu.tracking.live_view import LiveStatePlot
+from flope_tpu.tracking.fusion import (
+    world_measurements,
+    fused_tracker_step,
+    fused_track_sequence,
+    fuse_stream_predictions,
+)
