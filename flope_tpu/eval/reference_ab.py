@@ -18,7 +18,7 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["ABResult", "run_reference_ab", "make_ab_frames"]
+__all__ = ["ABResult", "aggregate_ab", "run_reference_ab", "make_ab_frames"]
 
 
 @dataclasses.dataclass
@@ -35,12 +35,41 @@ class ABResult:
     # Context: absolute errors vs synthetic GT for each side.
     ref_rot_err_deg_mean: float
     jax_rot_err_deg_mean: float
+    label: str = ""
 
     def row(self) -> str:
-        return (f"| {self.crop_size} | {self.n_matched} | "
+        return (f"| {self.label or self.crop_size} | {self.n_matched} | "
                 f"{self.rot_delta_deg_mean:.3f} | {self.rot_delta_deg_max:.3f} | "
                 f"{self.trans_delta_cm_mean:.4f} | {self.trans_delta_cm_max:.4f} | "
                 f"{self.ref_rot_err_deg_mean:.2f} | {self.jax_rot_err_deg_mean:.2f} |")
+
+
+def aggregate_ab(results: list["ABResult"], label: str = "") -> "ABResult":
+    """Match-count-weighted aggregate across scenes (means weighted, maxes
+    maxed, counts summed)."""
+    w = np.array([max(r.n_matched, 0) for r in results], float)
+    wsum = max(w.sum(), 1.0)
+
+    def wmean(vals):
+        v = np.array(vals, float)
+        ok = np.isfinite(v)
+        return float((v[ok] * w[ok]).sum() / max(w[ok].sum(), 1.0)) \
+            if ok.any() else float("nan")
+
+    return ABResult(
+        crop_size=results[0].crop_size,
+        n_frames=sum(r.n_frames for r in results),
+        n_matched=int(w.sum()),
+        n_ref_only=sum(r.n_ref_only for r in results),
+        n_jax_only=sum(r.n_jax_only for r in results),
+        rot_delta_deg_mean=wmean([r.rot_delta_deg_mean for r in results]),
+        rot_delta_deg_max=max(r.rot_delta_deg_max for r in results),
+        trans_delta_cm_mean=wmean([r.trans_delta_cm_mean for r in results]),
+        trans_delta_cm_max=max(r.trans_delta_cm_max for r in results),
+        ref_rot_err_deg_mean=wmean([r.ref_rot_err_deg_mean for r in results]),
+        jax_rot_err_deg_mean=wmean([r.jax_rot_err_deg_mean for r in results]),
+        label=label or results[0].label,
+    )
 
 
 def _rot_angle_deg(Ra: np.ndarray, Rb: np.ndarray) -> np.ndarray:
@@ -64,7 +93,9 @@ def make_ab_frames(seed: int = 0, n_frames: int = 6, n_flowers: int = 5,
 
 def run_reference_ab(variables: dict, scene, frames, crop_size: int = 512,
                      reference_root: str | None = None,
-                     ref_variables: dict | None = None) -> ABResult:
+                     ref_variables: dict | None = None,
+                     model_width: float = 1.0,
+                     label: str = "") -> ABResult:
     """Run both pipelines on the same frames/weights and measure deltas.
 
     The reference side always crops at 512^2 (hard-coded,
@@ -76,7 +107,8 @@ def run_reference_ab(variables: dict, scene, frames, crop_size: int = 512,
     Passing resolution-matched weights per side (a 512-trained model to the
     reference, a 256-trained model to the 256 JAX config) turns the abs-error
     columns into a deployment-config comparison instead of feeding one model
-    off-distribution inputs.
+    off-distribution inputs. model_width: JAX-side backbone width (0.5 = the
+    distilled student; pass its checkpoint as `variables`).
     """
     import jax.numpy as jnp
 
@@ -102,7 +134,7 @@ def run_reference_ab(variables: dict, scene, frames, crop_size: int = 512,
 
     # ---- JAX side: the fused TPU program in teacher mode -------------------
     cfg = PipelineConfig(max_det=max_det, crop_size=crop_size,
-                         crop_region=None).teacher()
+                         crop_region=None, model_width=model_width).teacher()
     jax_out = predict_frames(
         variables,
         jnp.asarray(np.stack([f.rgb for f in frames]), jnp.float32),
@@ -167,4 +199,5 @@ def run_reference_ab(variables: dict, scene, frames, crop_size: int = 512,
         trans_delta_cm_max=float(np.max(trans_d)),
         ref_rot_err_deg_mean=float(np.mean(ref_gt)) if ref_gt else float("nan"),
         jax_rot_err_deg_mean=float(np.mean(jax_gt)) if jax_gt else float("nan"),
+        label=label or str(crop_size),
     )

@@ -33,11 +33,14 @@ class PoseNet(nn.Module):
     # Exact space-to-depth stem reparametrization (see models/resnet.py):
     # same params/checkpoints, better MXU utilization; inference-time knob.
     s2d_stem: bool = False
+    # Backbone channel scale (0.5 = the distilled 512^2 student).
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, 3) float in [0, 1] -> (B, 9) unconstrained rotation."""
         feats = ResNet18(dtype=self.dtype, s2d_stem=self.s2d_stem,
+                         width_mult=self.width_mult,
                          name="backbone")(x, train=train)
         feats = nn.Dense(self.backbone_out_dim, name="fc")(feats)
         feats = nn.relu(feats)
@@ -55,11 +58,11 @@ class PoseNet(nn.Module):
 
 
 def init_posenet(rng: jax.Array, image_size: int = 512, dtype=jnp.float32,
-                 dropout: float = 0.5):
+                 dropout: float = 0.5, width_mult: float = 1.0):
     """Convenience initializer returning (model, variables). Init is jitted so
     it compiles once (and lands in the persistent compilation cache) instead
     of dispatching every layer eagerly."""
-    model = PoseNet(dtype=dtype, dropout=dropout)
+    model = PoseNet(dtype=dtype, dropout=dropout, width_mult=width_mult)
     init = jax.jit(lambda r: model.init(r, jnp.zeros((1, image_size,
                                                       image_size, 3)),
                                         train=False))

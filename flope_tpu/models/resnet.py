@@ -59,13 +59,15 @@ class BasicBlock(nn.Module):
 
 
 class _StemKernel(nn.Module):
-    """Bare (7,7,3,64) kernel param at the same tree path nn.Conv('conv1')
+    """Bare (7,7,3,F) kernel param at the same tree path nn.Conv('conv1')
     would create — lets the s2d stem reuse standard checkpoints verbatim."""
+
+    features: int = 64
 
     @nn.compact
     def __call__(self):
         return self.param("kernel", nn.initializers.lecun_normal(),
-                          (7, 7, 3, 64))
+                          (7, 7, 3, self.features))
 
 
 def _s2d_stem_kernel(w: jax.Array) -> jax.Array:
@@ -79,7 +81,7 @@ def _s2d_stem_kernel(w: jax.Array) -> jax.Array:
     16x deeper contraction (4*4*12=192 vs 7*7*3=147 is modest — the real
     win is feeding the MXU 12 input channels instead of 3).
     """
-    ks = jnp.zeros((4, 4, 12, 64), w.dtype)
+    ks = jnp.zeros((4, 4, 12, w.shape[-1]), w.dtype)
     for i in range(7):
         qi, dy = divmod(i - 3, 2)
         for j in range(7):
@@ -97,16 +99,24 @@ class ResNet18(nn.Module):
     math and identical parameter tree (checkpoints interchange), much
     better MXU utilization for the 3-channel first layer. Requires even
     H, W.
+
+    width_mult scales every stage's channel count (the half-width student
+    backbone for the 512^2 distillation path — VERDICT r2 item 3; the
+    reference's own signature move is distilling a slow teacher into a fast
+    student, prepare_yolo_data.py). width_mult=1 is torchvision-exact.
     """
 
     dtype: Any = jnp.float32
     s2d_stem: bool = False
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        wm = self.width_mult
+        stem_f = max(int(64 * wm), 8)
         x = x.astype(self.dtype)
         if self.s2d_stem:
-            w = _StemKernel(name="conv1")()
+            w = _StemKernel(name="conv1", features=stem_f)()
             b, h, ww = x.shape[0], x.shape[1], x.shape[2]
             xs = x.reshape(b, h // 2, 2, ww // 2, 2, 3)
             xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
@@ -116,8 +126,9 @@ class ResNet18(nn.Module):
                 window_strides=(1, 1), padding=((2, 1), (2, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = nn.Conv(stem_f, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
@@ -127,7 +138,8 @@ class ResNet18(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         for si, (features, stride) in enumerate(STAGE_SIZES, start=1):
             for bi in range(2):
-                x = BasicBlock(features, strides=stride if bi == 0 else 1,
+                x = BasicBlock(max(int(features * wm), 8),
+                               strides=stride if bi == 0 else 1,
                                dtype=self.dtype,
                                name=f"layer{si}_{bi}")(x, train=train)
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)

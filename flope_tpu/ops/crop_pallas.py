@@ -81,14 +81,18 @@ def _kernel(fidx_ref, ry_ref, rx_ref, frames_ref, wy_ref, wx_ref, out_ref,
     wx_t = wx_ref[0].astype(compute_dtype)        # (rw, out), pre-transposed
     reg = region[slot].astype(compute_dtype)      # (4, r, rw)
 
-    planes = []
-    for c in range(4):
-        tmp = jnp.dot(wy, reg[c], preferred_element_type=jnp.float32)
-        res = jnp.dot(tmp.astype(compute_dtype), wx_t,
-                      preferred_element_type=jnp.float32)
-        if quantize:
-            res = jnp.clip(jnp.round(res), 0.0, 255.0)
-        planes.append(res)
+    # Stage 1: per-channel row contraction, stacked along sublanes so stage
+    # 2 is ONE (4*out, rw) @ (rw, out) MXU matmul instead of four — the MXU
+    # stays busy through what used to be three extra dispatch/VPU gaps, and
+    # the quantize tail runs once over the fused block.
+    tmp = jnp.concatenate(
+        [jnp.dot(wy, reg[c], preferred_element_type=jnp.float32
+                 ).astype(compute_dtype) for c in range(4)],
+        axis=0)                                   # (4*out, rw)
+    res = jnp.dot(tmp, wx_t, preferred_element_type=jnp.float32)  # (4*out, out)
+    if quantize:
+        res = jnp.clip(jnp.round(res), 0.0, 255.0)
+    planes = res.reshape(4, out_size, out_size)
     m = planes[3] * (1.0 / 255.0)
     dt = out_ref.dtype
     out_ref[0, 0] = (planes[0] * m).astype(dt)

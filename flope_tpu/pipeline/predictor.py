@@ -59,6 +59,9 @@ class PipelineConfig:
     min_depth_pixels: int = 50
     erode_ksize: int = 10
     model_dtype: Any = jnp.float32
+    # PoseNet backbone channel scale (0.5 = the distilled 512^2 student;
+    # must match the checkpoint's width).
+    model_width: float = 1.0
     # Crop windows slice a fixed region around each box before the sampling
     # matmuls (FLOP cut; exact while boxes fit). None = exact full-frame path.
     crop_region: int | None = 768
@@ -159,7 +162,8 @@ def predict_frame(
     ) / 255.0
 
     # 7. PoseNet -> Procrustes -> yaw-nullify (pose_predictor.py:156-161).
-    r9 = PoseNet(dtype=config.model_dtype).apply(variables, crops, train=False)
+    r9 = PoseNet(dtype=config.model_dtype, width_mult=config.model_width
+                 ).apply(variables, crops, train=False)
     rotmats = PoseNet.to_rotmats(r9, yaw_nullify=config.yaw_nullify)
 
     return _assemble(valid, boxes, sq, uv, xyz, depth_val, rotmats)
@@ -197,8 +201,8 @@ def predict_frames(variables, rgb, depth_raw, boxes, det_valid, seg_mask, K,
         ) / 255.0
         f, n = crops.shape[0], crops.shape[1]
         flat = crops.reshape(f * n, *crops.shape[2:])
-        r9 = PoseNet(dtype=config.model_dtype).apply(variables, flat,
-                                                     train=False)
+        r9 = PoseNet(dtype=config.model_dtype, width_mult=config.model_width
+                     ).apply(variables, flat, train=False)
         rotmats = PoseNet.to_rotmats(
             r9, yaw_nullify=config.yaw_nullify).reshape(f, n, 3, 3)
         return jax.vmap(_assemble)(valid, boxes_i, sq, uv, xyz, depth_val,

@@ -52,6 +52,7 @@ class TrainConfig:
     image_size: int = 512
     dropout: float = 0.5
     model_dtype: Any = jnp.float32
+    width_mult: float = 1.0  # backbone channel scale (0.5 = 512^2 student)
     ckpt_dir: str | None = "weights"
     # Snapshot cadence: N>0 saves posenet_e{n} every N epochs (the reference
     # saves EVERY epoch, train_posenet.py:186 — use 1 for parity). 0 saves
@@ -117,7 +118,8 @@ def param_shardings(mesh, variables):
 
 
 def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[PoseNet, TrainState]:
-    model = PoseNet(dtype=config.model_dtype, dropout=config.dropout)
+    model = PoseNet(dtype=config.model_dtype, dropout=config.dropout,
+                    width_mult=config.width_mult)
     # jit the init: eager init dispatches every conv/bn op one by one — each a
     # round trip through a remote-attached TPU (minutes of startup); jitted it
     # is one program and lands in the persistent compile cache.

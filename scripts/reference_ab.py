@@ -33,7 +33,15 @@ def main():
                     "--weights")
     ap.add_argument("--random-init", action="store_true",
                     help="use a seeded random-init PoseNet (no checkpoint)")
-    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--student-ckpt", default=None,
+                    help="distilled width-scaled student checkpoint; adds a "
+                    "crop-512 student row (scripts/distill_posenet.py)")
+    ap.add_argument("--student-width", type=float, default=0.5)
+    ap.add_argument("--frames", type=int, default=8,
+                    help="frames PER SCENE")
+    ap.add_argument("--scenes", type=int, default=1,
+                    help="independent scene seeds (seed..seed+N-1); results "
+                    "aggregate match-count-weighted across scenes")
     ap.add_argument("--flowers", type=int, default=5)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
@@ -46,7 +54,8 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")  # torch side is CPU; keep both local
 
-    from flope_tpu.eval.reference_ab import make_ab_frames, run_reference_ab
+    from flope_tpu.eval.reference_ab import (aggregate_ab, make_ab_frames,
+                                             run_reference_ab)
     from flope_tpu.models import init_posenet
     from flope_tpu.utils.checkpoint import load_posenet_ckpt
 
@@ -61,19 +70,35 @@ def main():
 
     variables_256 = (load_posenet_ckpt(args.weights_256)
                      if args.weights_256 else None)
+    student_vars = (load_posenet_ckpt(args.student_ckpt)
+                    if args.student_ckpt else None)
 
-    scene, frames = make_ab_frames(seed=args.seed, n_frames=args.frames,
-                                   n_flowers=args.flowers, height=args.height,
-                                   width=args.width)
-    results = []
+    # (label, crop, jax-side variables, width)
+    configs = []
     for cs in [int(c) for c in args.crop_sizes.split(",")]:
         jax_vars = (variables_256 if cs == 256 and variables_256 is not None
                     else variables)
-        r = run_reference_ab(jax_vars, scene, frames, crop_size=cs,
-                             reference_root=args.reference_root,
-                             ref_variables=variables)
-        results.append(r)
-        print(json.dumps(r.__dict__))
+        configs.append((str(cs), cs, jax_vars, 1.0))
+    if student_vars is not None:
+        configs.append((f"512 student w{args.student_width}", 512,
+                        student_vars, args.student_width))
+
+    per_config = {label: [] for label, *_ in configs}
+    for si in range(args.scenes):
+        scene, frames = make_ab_frames(
+            seed=args.seed + si, n_frames=args.frames,
+            n_flowers=args.flowers, height=args.height, width=args.width)
+        for label, cs, jax_vars, mw in configs:
+            r = run_reference_ab(jax_vars, scene, frames, crop_size=cs,
+                                 reference_root=args.reference_root,
+                                 ref_variables=variables, model_width=mw,
+                                 label=label)
+            per_config[label].append(r)
+            print(json.dumps({**r.__dict__, "scene_seed": args.seed + si}))
+
+    results = [aggregate_ab(rs, label) for label, rs in per_config.items()]
+    for r in results:
+        print("AGG:", json.dumps(r.__dict__))
 
     if args.out:
         lines = [
@@ -90,8 +115,10 @@ def main():
             "- **flope_tpu**: `pipeline.predict_frames` teacher config, one "
             "fused XLA graph.",
             "",
-            f"Scene: {args.flowers} flowers, {args.frames} frames at "
-            f"{args.width}x{args.height}, seed {args.seed}. The reference "
+            f"Scenes: {args.scenes} (seeds {args.seed}..",
+            f"{args.seed + args.scenes - 1}), {args.flowers} flowers x "
+            f"{args.frames} frames each at "
+            f"{args.width}x{args.height}. The reference "
             "crops at 512^2 (hard-coded); `crop` below is the JAX side's "
             "crop resolution — 512 isolates implementation drift, 256 adds "
             "the TPU default's resolution substitution"
@@ -100,7 +127,7 @@ def main():
                "configs rather than feeding one model off-distribution "
                "inputs)" if args.weights_256 else "") + ".",
             "",
-            "| crop | matched | rot delta mean (deg) | rot delta max | "
+            "| config | matched | rot delta mean (deg) | rot delta max | "
             "trans delta mean (cm) | trans delta max | ref rot err vs GT | "
             "jax rot err vs GT |",
             "|---|---|---|---|---|---|---|---|",
