@@ -282,16 +282,27 @@ def _petal_profile(theta: np.ndarray, petals: int, depth: float) -> np.ndarray:
 
 
 def _flower_texture(R_cam: np.ndarray, lu: np.ndarray, lv: np.ndarray,
+                    vu: np.ndarray, vv: np.ndarray,
                     domain: DomainConfig) -> np.ndarray:
-    """Petal-modulated orientation shading at local plane coords (lu, lv).
+    """Petal-modulated orientation shading.
 
     Shared by the scene renderer and the crop renderer so PoseNet's training
-    distribution matches deployment. The base signal is the same linear
-    rotation encoding as the flat domain (so the task stays well-posed);
-    petal ridges, radial edge-darkening and a yellow center disc are
-    *multiplicative/blended* structure the model must see through.
+    distribution matches deployment. Two coordinate systems, deliberately:
+
+    * (lu, lv) — the flower's OWN plane coordinates — drive the petal
+      ridges, radial edge-darkening and the yellow center disc, so that
+      structure rotates/foreshortens with the flower like a real surface.
+    * (vu, vv) — VIEW-anchored normalized pixel offsets — drive the linear
+      orientation shading (the flat domain's encoding, 128 + 100*(vu*R0 +
+      vv*R1)). This anchoring is what keeps the task well-posed: a shading
+      painted in (lu, lv) is invariant under body-yaw (the local frame and
+      the basis rotate together and cancel), so with 5-fold-symmetric
+      petals the image would determine R only up to 5 discrete yaw
+      alternatives — making yaw-nullified labels contradictory (measured:
+      training plateaus at ~70 deg). View-anchored shading makes the full
+      rotation linearly recoverable, like the flat domain.
     """
-    shade = _orientation_shading(R_cam, lu, lv)
+    shade = _orientation_shading(R_cam, vu, vv)
     rho = np.hypot(lu, lv)
     theta = np.arctan2(lv, lu)
     ridges = 0.78 + 0.22 * np.abs(np.cos(domain.petals * theta / 2.0)) ** 0.8
@@ -471,8 +482,14 @@ def _render_frame_hard(scene: SyntheticScene, cam_pose: np.ndarray,
         sel = inside & (s < zbuf[ysl, xsl])
         if not sel.any():
             continue
-        tex = (_flower_texture(R_c, lu, lv, dom) if is_flower
-               else _leaf_texture(R_c, lu, lv))
+        if is_flower:
+            gx, gy = np.meshgrid(
+                np.arange(xsl.start, xsl.stop, dtype=np.float32),
+                np.arange(ysl.start, ysl.stop, dtype=np.float32))
+            tex = _flower_texture(R_c, lu, lv, (gx - u) / r_px,
+                                  (gy - v) / r_px, dom)
+        else:
+            tex = _leaf_texture(R_c, lu, lv)
         sub_rgb = rgb[ysl, xsl]
         sub_rgb[sel] = tex[sel]
         rgb[ysl, xsl] = sub_rgb
@@ -625,7 +642,7 @@ def _render_flower_crop_hard(R_cam: np.ndarray, size: int, fill: float,
     theta = np.arctan2(lv, lu)
     inside = rho <= _petal_profile(theta, domain.petals, domain.petal_depth)
 
-    tex = _flower_texture(R_cam, lu, lv, domain)
+    tex = _flower_texture(R_cam, lu, lv, dx, dy, domain)
     if domain.background == "foliage":
         bg_full = _foliage_background(size, size, int(rng.integers(1 << 30)) % 97)
         bg = bg_full[:, :size]

@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--crop", type=int, default=512)
+    ap.add_argument("--model-width", type=float, default=1.0,
+                    help="PoseNet backbone width (0.5 = distilled student; "
+                    "must match the checkpoint)")
     ap.add_argument("--max-det", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default=None)
@@ -57,7 +60,8 @@ def main(argv=None):
     from flope_tpu.pipeline import PipelineConfig
     from flope_tpu.utils.checkpoint import load_posenet_ckpt
 
-    _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop)
+    _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop,
+                                width_mult=args.model_width)
     if args.posenet_ckpt:
         variables = load_posenet_ckpt(args.posenet_ckpt)
 
@@ -80,6 +84,7 @@ def main(argv=None):
         cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop,
                              model_dtype=jnp.bfloat16, crop_region=448,
                              crop_dtype=jnp.bfloat16,
+                             model_width=args.model_width,
                              crop_backend=args.crop_backend)
     else:
         # The pallas backend only activates when crop_region < min(H, W)
@@ -89,6 +94,7 @@ def main(argv=None):
         region = 448 if args.crop_backend == "pallas" else None
         kw = {"crop_region": region} if region else {}
         cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop,
+                             model_width=args.model_width,
                              crop_backend=args.crop_backend, **kw)
     if args.crop_backend == "pallas" and (
             cfg.crop_region is None
