@@ -40,6 +40,13 @@ def main():
                     choices=["xla", "pallas"],
                     help="crop stage implementation: XLA region einsums or "
                          "the fused Pallas HBM->VMEM kernel")
+    ap.add_argument("--model-width", type=float, default=1.0,
+                    help="PoseNet backbone width multiplier (0.5 = the "
+                         "distilled 512^2 student)")
+    ap.add_argument("--emit-nhwc", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="pallas backend: interleave channels in-kernel "
+                         "(skip the XLA planar->NHWC transpose)")
     ap.add_argument("--with-detector", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench the FULL frame->poses graph including the "
@@ -82,9 +89,11 @@ def main():
     cfg = PipelineConfig(
         max_det=args.max_det, crop_size=args.crop, model_dtype=fast_dtype,
         crop_region=args.crop_region or None, crop_dtype=fast_dtype,
-        crop_backend=args.crop_backend)
+        crop_backend=args.crop_backend, emit_nhwc=args.emit_nhwc,
+        model_width=args.model_width)
     _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop,
-                                dtype=cfg.model_dtype)
+                                dtype=cfg.model_dtype,
+                                width_mult=args.model_width)
 
     batch = (
         jnp.asarray(np.stack([f.rgb for f in frames]), jnp.float32),

@@ -75,6 +75,9 @@ class PipelineConfig:
     # be vmapped), requires crop_region set, measured ~1.3x faster at
     # 16x1080p on v5e.
     crop_backend: str = "xla"
+    # Pallas backend only: interleave channels in-kernel so the crop tensor
+    # leaves the kernel already NHWC (drops the XLA planar->NHWC transpose).
+    emit_nhwc: bool = False
 
     def teacher(self) -> "PipelineConfig":
         return dataclasses.replace(self, depth_scale=1.0 / 10000.0, filter_large=True)
@@ -198,6 +201,7 @@ def predict_frames(variables, rgb, depth_raw, boxes, det_valid, seg_mask, K,
             out_size=config.crop_size, method=config.resize_method,
             region_size=config.crop_region, compute_dtype=config.crop_dtype,
             interpret=jax.default_backend() == "cpu",
+            emit_nhwc=config.emit_nhwc,
         ) / 255.0
         f, n = crops.shape[0], crops.shape[1]
         flat = crops.reshape(f * n, *crops.shape[2:])

@@ -76,6 +76,36 @@ class TestCropPallas:
             interpret=True))
         assert np.abs(a - b).max() <= 4.0  # bf16 taps: image+mask LSBs compound
 
+    def test_emit_nhwc_matches_planar(self, rng):
+        """emit_nhwc=True interleaves channels in-kernel; the result must be
+        bit-identical to the planar path followed by the XLA transpose."""
+        img, mask = _scene(rng)
+        boxes = np.array([[40, 30, 160, 150], [200, 100, 380, 260],
+                          [0, 0, 0, 0]], np.float32)
+        planar = np.asarray(crop_resize_with_mask_pallas(
+            jnp.asarray(img), jnp.asarray(mask), jnp.asarray(boxes),
+            out_size=64, region_size=192, interpret=True))
+        nhwc = np.asarray(crop_resize_with_mask_pallas(
+            jnp.asarray(img), jnp.asarray(mask), jnp.asarray(boxes),
+            out_size=64, region_size=192, interpret=True, emit_nhwc=True))
+        assert nhwc.shape == planar.shape == (3, 64, 64, 3)
+        np.testing.assert_array_equal(nhwc, planar)
+
+    def test_emit_nhwc_batched(self, rng):
+        img, mask = _scene(rng)
+        imgs = np.stack([img, img[::-1].copy()])
+        masks = np.stack([mask, mask])
+        boxes = np.array([[[40, 30, 160, 150]], [[200, 100, 380, 260]]],
+                         np.float32)
+        planar = np.asarray(crop_resize_with_mask_pallas(
+            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(boxes),
+            out_size=64, region_size=192, interpret=True))
+        nhwc = np.asarray(crop_resize_with_mask_pallas(
+            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(boxes),
+            out_size=64, region_size=192, interpret=True, emit_nhwc=True))
+        assert nhwc.shape == planar.shape == (2, 1, 64, 64, 3)
+        np.testing.assert_array_equal(nhwc, planar)
+
     def test_region_multiple_of_16_required(self, rng):
         img, mask = _scene(rng)
         boxes = np.zeros((1, 4), np.float32)
