@@ -67,3 +67,23 @@ class TestOfflinePipelineChain:
         out = run("get_flower_distribution.py", "--data-dir",
                   str(pipeline_outputs), "--min-observations", "2")
         assert "var[x]" in out
+
+
+class TestCaptureChain:
+    def test_capture_chain_runner(self, tmp_path):
+        """scripts/capture_chain.py drives generate -> chain -> score and
+        writes chain_summary.json with one row per GT flower."""
+        import json
+        out = tmp_path / "cap"
+        run("capture_chain.py", "--out", str(out), "--frames", "3",
+            "--flowers", "3", "--height", "240", "--width", "320",
+            "--domain", "flat", "--cpu", "--crop", "64", "--max-det", "8",
+            "--score-th", "1")
+        summary = json.loads((out / "chain_summary.json").read_text())
+        assert summary["n_gt"] == 3
+        assert len(summary["per_flower"]) == 3
+        # Translation comes from GT masks + depth: recovered flowers must sit
+        # within the 10 cm found-threshold of their track.
+        for row in summary["per_flower"]:
+            if row.get("found"):
+                assert row["trans_err_cm"] < 10.0
