@@ -149,6 +149,30 @@ class TestHardCrop:
                                     rng=np.random.default_rng(0))
         assert (face_on.sum(-1) > 0).sum() > 3 * (tilted.sum(-1) > 0).sum()
 
+    def test_body_yaw_observable_through_petal_symmetry(self):
+        """Well-posedness regression (the round-3 fix): the orientation
+        shading is anchored in VIEW coordinates, so a body-yaw by exactly
+        the petal-symmetry angle (2pi/petals) — which leaves the petal
+        geometry pixel-identical — must still change the image. A local-
+        frame shading (the broken renderer) is yaw-invariant and makes
+        yaw-nullified labels 5-way contradictory."""
+        dom = DomainConfig(petals=5, petal_depth=0.35, background="flat",
+                           noise=0.0, blur_sigma=0.0, lighting=0.0)
+        R = sciR.from_euler("zyx", [15, 25, 10], degrees=True).as_matrix()
+        Ry = R @ sciR.from_euler("z", 360.0 / 5, degrees=True).as_matrix()
+        a = render_flower_crop(R, 128, domain=dom,
+                               rng=np.random.default_rng(4))
+        b = render_flower_crop(Ry, 128, domain=dom,
+                               rng=np.random.default_rng(4))
+        # Same silhouette (petal symmetry) ...
+        sil_a, sil_b = a.sum(-1) > 0, b.sum(-1) > 0
+        overlap = (sil_a & sil_b).sum() / max((sil_a | sil_b).sum(), 1)
+        assert overlap > 0.95, f"petal silhouettes diverged ({overlap:.3f})"
+        # ... but materially different shading on the flower pixels.
+        both = sil_a & sil_b
+        diff = np.abs(a.astype(np.float32) - b.astype(np.float32))[both]
+        assert diff.mean() > 5.0, f"yaw-invariant shading (mean {diff.mean():.2f})"
+
     def test_synthetic_crops_hard(self):
         from flope_tpu.data.posenet_dataset import synthetic_crops
         d = synthetic_crops(6, 64, seed=3, box_jitter=0.06,
