@@ -21,6 +21,30 @@ def save_ckpt(path, tree) -> None:
     ckptr.wait_until_finished()
 
 
+def _resolve_ckpt_dir(p: Path) -> Path:
+    """Accept either a leaf orbax checkpoint or a training --ckpt-dir.
+
+    Training runs write `<ckpt-dir>/<name>_best` and `<name>_e<N>` snapshots;
+    pointing a loader at the run dir resolves to `*_best` (preferred) or the
+    highest-numbered epoch snapshot.
+    """
+    if not p.is_dir() or (p / "_CHECKPOINT_METADATA").exists():
+        return p
+    subs = [d for d in p.iterdir() if d.is_dir()
+            and (d / "_CHECKPOINT_METADATA").exists()]
+    if not subs:
+        return p
+    best = [d for d in subs if d.name.endswith("_best")]
+    if best:
+        return best[0]
+
+    def epoch_key(d: Path):
+        tail = d.name.rsplit("_e", 1)
+        return int(tail[1]) if len(tail) == 2 and tail[1].isdigit() else -1
+
+    return max(subs, key=epoch_key)
+
+
 def load_ckpt(path):
     """Restore a checkpoint as host numpy arrays.
 
@@ -32,8 +56,15 @@ def load_ckpt(path):
     import numpy as np
     import orbax.checkpoint as ocp
 
+    path = _resolve_ckpt_dir(Path(path))
     ckptr = ocp.PyTreeCheckpointer()
-    meta_tree = ckptr.metadata(Path(path).absolute()).item_metadata.tree
+    meta = ckptr.metadata(Path(path).absolute())
+    if meta is None or meta.item_metadata is None:
+        raise FileNotFoundError(
+            f"{path} is not an orbax checkpoint (no metadata); expected a "
+            "leaf checkpoint dir or a training --ckpt-dir containing "
+            "*_best/*_e<N> snapshots")
+    meta_tree = meta.item_metadata.tree
     restored = ckptr.restore(
         Path(path).absolute(),
         restore_args=jax.tree.map(

@@ -23,6 +23,9 @@ def main(argv=None):
                     help="snapshot every N epochs (0 = final + best-loss "
                          "only; per-epoch snapshots are slow through "
                          "remote-attached TPUs)")
+    ap.add_argument("--warm-start", default=None,
+                    help="orbax ckpt (or training --ckpt-dir) to initialize "
+                         "from; image-size independent (anchor-free head)")
     ap.add_argument("--log", default="yolo_train.jsonl")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -36,7 +39,7 @@ def main(argv=None):
     from flope_tpu.data.yolo_labels import load_yolo_seg_dataset
     from flope_tpu.models.yolo import init_yolo
     from flope_tpu.train.yolo_train import YoloTrainConfig, make_yolo_train_step
-    from flope_tpu.utils.checkpoint import save_ckpt
+    from flope_tpu.utils.checkpoint import load_ckpt, save_ckpt
     from flope_tpu.utils.logging import JsonlLogger
 
     data = load_yolo_seg_dataset(args.data, "train", args.image_size)
@@ -45,6 +48,11 @@ def main(argv=None):
                           lr=args.lr)
     model, variables = init_yolo(jax.random.PRNGKey(0), args.image_size,
                                  args.scale)
+    if args.warm_start:
+        tree = load_ckpt(args.warm_start)
+        variables = {"params": tree["params"],
+                     "batch_stats": tree["batch_stats"]}
+        print(f"warm-started from {args.warm_start}")
     tx = optax.adamw(args.lr, weight_decay=cfg.weight_decay)
     step = make_yolo_train_step(model, tx, cfg)
     params, stats = variables["params"], variables["batch_stats"]

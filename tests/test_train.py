@@ -166,6 +166,28 @@ class TestCheckpointRoundtrip:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestCkptDirResolution:
+    def test_run_dir_resolves_to_best_then_highest_epoch(self, tmp_path):
+        from flope_tpu.utils.checkpoint import _resolve_ckpt_dir
+        run = tmp_path / "run"
+        for name in ["posenet_e7", "posenet_e79", "posenet_best"]:
+            (run / name).mkdir(parents=True)
+            (run / name / "_CHECKPOINT_METADATA").write_text("{}")
+        assert _resolve_ckpt_dir(run).name == "posenet_best"
+        import shutil
+        shutil.rmtree(run / "posenet_best")
+        assert _resolve_ckpt_dir(run).name == "posenet_e79"
+        # A leaf checkpoint passes through untouched.
+        assert _resolve_ckpt_dir(run / "posenet_e7") == run / "posenet_e7"
+
+    def test_non_ckpt_dir_raises_clearly(self, tmp_path):
+        from flope_tpu.utils.checkpoint import load_ckpt
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(FileNotFoundError, match="not an orbax checkpoint"):
+            load_ckpt(empty)
+
+
 class TestDiskDataset:
     def test_write_load_roundtrip(self, tmp_path):
         out = write_crop_dataset(tmp_path / "crops", n=10, size=32, seed=0)
