@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--box-jitter", type=float, default=0.06)
     ap.add_argument("--domain", default="flat", choices=["flat", "hard"])
+    ap.add_argument("--render-cache", default=None,
+                    help="npz path caching the RAW rendered crops (teacher "
+                         "labels are always computed fresh from "
+                         "--teacher-ckpt; rendering is host-CPU-bound)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default="weights/posenet512_student")
     ap.add_argument("--log", default="posenet_distill.jsonl")
@@ -60,9 +64,24 @@ def main(argv=None):
         r9 = teacher.apply(teacher_vars, images, train=False)
         return PoseNet.to_rotmats(r9, yaw_nullify=True)
 
-    def relabel(split_seed, n):
+    import os
+    rendered = {}
+    if args.render_cache and os.path.exists(args.render_cache):
+        z = np.load(args.render_cache)
+        for tag in ("tr", "ev"):
+            rendered[tag] = {k[3:]: z[k] for k in z if k.startswith(tag + "_")}
+        print(f"loaded rendered crops from {args.render_cache}")
+
+    def render(split_seed, n, tag):
+        if tag in rendered and rendered[tag]["images"].shape[0] == n:
+            return dict(rendered[tag])
         data = synthetic_crops(n, args.image_size, split_seed,
                                box_jitter=args.box_jitter, domain=domain)
+        rendered[tag] = dict(data)
+        return data
+
+    def relabel(split_seed, n):
+        data = render(split_seed, n, "tr" if split_seed == args.seed else "ev")
         outs = []
         bs = 64
         for i in range(0, n, bs):
@@ -75,6 +94,11 @@ def main(argv=None):
           f"at {args.image_size}^2 ...")
     train = relabel(args.seed, args.crops)
     evald = relabel(args.seed + 1, max(args.crops // 5, 4))
+    if args.render_cache and not os.path.exists(args.render_cache):
+        np.savez(args.render_cache,
+                 **{f"tr_{k}": v for k, v in rendered["tr"].items()},
+                 **{f"ev_{k}": v for k, v in rendered["ev"].items()})
+        print(f"cached rendered crops to {args.render_cache}")
 
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, seed=args.seed, optimizer="adamw",

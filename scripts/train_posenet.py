@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--optimizer", default="adadelta",
                     choices=["adadelta", "adamw"])
     ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--synthetic-cache", default=None,
+                    help="npz path: render the --synthetic crops once and "
+                         "reuse (rendering is host-CPU-bound; caching lets "
+                         "device training start instantly)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default="weights")
     ap.add_argument("--ckpt-every", type=int, default=0,
@@ -52,11 +56,39 @@ def main(argv=None):
     from flope_tpu.data.synthetic import DomainConfig
     domain = DomainConfig.named(args.domain)
     if args.synthetic and not args.data_dir:
-        train = synthetic_crops(args.synthetic, args.image_size, args.seed,
-                                box_jitter=args.box_jitter, domain=domain)
-        evald = synthetic_crops(max(args.synthetic // 5, 4), args.image_size,
-                                args.seed + 1, box_jitter=args.box_jitter,
-                                domain=domain)
+        import numpy as np
+
+        def render():
+            tr = synthetic_crops(args.synthetic, args.image_size, args.seed,
+                                 box_jitter=args.box_jitter, domain=domain)
+            ev = synthetic_crops(max(args.synthetic // 5, 4), args.image_size,
+                                 args.seed + 1, box_jitter=args.box_jitter,
+                                 domain=domain)
+            return tr, ev
+
+        if args.synthetic_cache:
+            import os
+            if os.path.exists(args.synthetic_cache):
+                z = np.load(args.synthetic_cache)
+                train = {k[3:]: z[k] for k in z if k.startswith("tr_")}
+                evald = {k[3:]: z[k] for k in z if k.startswith("ev_")}
+                got = train["images"].shape
+                want = (args.synthetic, args.image_size, args.image_size, 3)
+                if got != want:
+                    raise ValueError(
+                        f"--synthetic-cache {args.synthetic_cache} holds "
+                        f"{got}, but --synthetic/--image-size ask for "
+                        f"{want}; delete the cache or fix the flags")
+                print(f"loaded {got[0]}+{evald['images'].shape[0]} crops "
+                      f"from {args.synthetic_cache}")
+            else:
+                train, evald = render()
+                np.savez(args.synthetic_cache,
+                         **{f"tr_{k}": v for k, v in train.items()},
+                         **{f"ev_{k}": v for k, v in evald.items()})
+                print(f"rendered + cached to {args.synthetic_cache}")
+        else:
+            train, evald = render()
     else:
         assert args.data_dir, "need --data-dir or --synthetic N"
         train = load_crop_dataset(args.data_dir, test=False)
