@@ -239,8 +239,13 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
     ckptr = None
     if config.ckpt_dir is not None:
         import orbax.checkpoint as ocp
+
+        from flope_tpu.utils.checkpoint import write_ckpt_meta
         ckptr = ocp.StandardCheckpointer()
         Path(config.ckpt_dir).mkdir(parents=True, exist_ok=True)
+        write_ckpt_meta(config.ckpt_dir, image_size=config.image_size,
+                        width_mult=config.width_mult,
+                        optimizer=config.optimizer)
 
     history = []
     best_vars = None

@@ -10,7 +10,47 @@ from __future__ import annotations
 
 from pathlib import Path
 
-__all__ = ["save_ckpt", "load_ckpt", "load_posenet_ckpt"]
+__all__ = ["save_ckpt", "load_ckpt", "load_posenet_ckpt",
+           "write_ckpt_meta", "read_ckpt_meta", "check_ckpt_meta"]
+
+
+def write_ckpt_meta(ckpt_dir, **meta) -> None:
+    """Record training-config facts (image_size, width_mult, ...) as a
+    meta.json sidecar in the run dir. Checkpoints are fully convolutional, so
+    nothing in the weights reveals the training resolution — evaluating a
+    256-trained model on 512 crops silently runs off-distribution (~5x the
+    rotation error). The sidecar lets loaders warn."""
+    import json
+
+    p = Path(ckpt_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    (p / "meta.json").write_text(json.dumps(meta))
+
+
+def read_ckpt_meta(path) -> dict | None:
+    """meta.json for a checkpoint path (leaf snapshot or run dir), or None
+    (e.g. checkpoints from before the sidecar existed, torch .pth files)."""
+    import json
+
+    p = Path(path)
+    for cand in (p / "meta.json", p.parent / "meta.json"):
+        if cand.exists():
+            return json.loads(cand.read_text())
+    return None
+
+
+def check_ckpt_meta(path, warn=None, **expected) -> None:
+    """Warn (print by default) when the checkpoint's recorded training config
+    disagrees with the evaluation config, e.g. crop size or width_mult."""
+    meta = read_ckpt_meta(path)
+    if not meta:
+        return
+    warn = warn or print
+    for k, v in expected.items():
+        if k in meta and meta[k] != v:
+            warn(f"WARNING: checkpoint {path} was trained with {k}="
+                 f"{meta[k]} but is being used with {k}={v} — "
+                 "off-distribution inputs degrade accuracy silently")
 
 
 def save_ckpt(path, tree) -> None:

@@ -58,12 +58,14 @@ def main(argv=None):
     from flope_tpu.eval import EvalConfig, evaluate_pipeline
     from flope_tpu.models import init_posenet
     from flope_tpu.pipeline import PipelineConfig
-    from flope_tpu.utils.checkpoint import load_posenet_ckpt
+    from flope_tpu.utils.checkpoint import check_ckpt_meta, load_posenet_ckpt
 
     _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop,
                                 width_mult=args.model_width)
     if args.posenet_ckpt:
         variables = load_posenet_ckpt(args.posenet_ckpt)
+        check_ckpt_meta(args.posenet_ckpt, image_size=args.crop,
+                        width_mult=args.model_width)
 
     detector = None
     if args.detector == "yolo":
@@ -73,6 +75,7 @@ def main(argv=None):
         if args.yolo_ckpt:
             from flope_tpu.utils.checkpoint import load_ckpt
             yolo_v = load_ckpt(args.yolo_ckpt)
+            check_ckpt_meta(args.yolo_ckpt, image_size=args.det_size)
         import jax.numpy as jnp
         detector = YoloJaxDetector(
             yolo_v, det_size=args.det_size, max_det=args.max_det,

@@ -57,10 +57,11 @@ def main():
     from flope_tpu.eval.reference_ab import (aggregate_ab, make_ab_frames,
                                              run_reference_ab)
     from flope_tpu.models import init_posenet
-    from flope_tpu.utils.checkpoint import load_posenet_ckpt
+    from flope_tpu.utils.checkpoint import check_ckpt_meta, load_posenet_ckpt
 
     if args.weights:
         variables = load_posenet_ckpt(args.weights)
+        check_ckpt_meta(args.weights, image_size=512)
         weights_desc = args.weights
     elif args.random_init:
         _, variables = init_posenet(jax.random.PRNGKey(args.seed), image_size=64)
@@ -70,8 +71,13 @@ def main():
 
     variables_256 = (load_posenet_ckpt(args.weights_256)
                      if args.weights_256 else None)
+    if args.weights_256:
+        check_ckpt_meta(args.weights_256, image_size=256)
     student_vars = (load_posenet_ckpt(args.student_ckpt)
                     if args.student_ckpt else None)
+    if args.student_ckpt:
+        check_ckpt_meta(args.student_ckpt, image_size=512,
+                        width_mult=args.student_width)
 
     # (label, crop, jax-side variables, width)
     configs = []

@@ -51,7 +51,9 @@ def main(argv=None):
 
     model, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop)
     if args.posenet_ckpt:
+        from flope_tpu.utils.checkpoint import check_ckpt_meta
         variables = load_posenet_ckpt(args.posenet_ckpt)
+        check_ckpt_meta(args.posenet_ckpt, image_size=args.crop)
     cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop)
 
     if args.detector == "mask":

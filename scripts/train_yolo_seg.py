@@ -39,7 +39,8 @@ def main(argv=None):
     from flope_tpu.data.yolo_labels import load_yolo_seg_dataset
     from flope_tpu.models.yolo import init_yolo
     from flope_tpu.train.yolo_train import YoloTrainConfig, make_yolo_train_step
-    from flope_tpu.utils.checkpoint import load_ckpt, save_ckpt
+    from flope_tpu.utils.checkpoint import (load_ckpt, save_ckpt,
+                                            write_ckpt_meta)
     from flope_tpu.utils.logging import JsonlLogger
 
     data = load_yolo_seg_dataset(args.data, "train", args.image_size)
@@ -76,6 +77,8 @@ def main(argv=None):
         jnp.take(d["valid"], idx, 0),
         jnp.take(d["masks"], idx, 0).astype(jnp.float32)))
 
+    write_ckpt_meta(args.ckpt_dir, image_size=args.image_size,
+                    scale=args.scale)
     rng = np.random.default_rng(0)
     n = data["images"].shape[0]
     bs = min(args.batch_size, n)

@@ -180,6 +180,28 @@ class TestCkptDirResolution:
         # A leaf checkpoint passes through untouched.
         assert _resolve_ckpt_dir(run / "posenet_e7") == run / "posenet_e7"
 
+    def test_ckpt_meta_roundtrip_and_mismatch_warning(self, tmp_path):
+        from flope_tpu.utils.checkpoint import (check_ckpt_meta,
+                                                read_ckpt_meta,
+                                                write_ckpt_meta)
+        run = tmp_path / "run"
+        write_ckpt_meta(run, image_size=256, width_mult=1.0)
+        assert read_ckpt_meta(run) == {"image_size": 256, "width_mult": 1.0}
+        # Leaf snapshot inside the run dir inherits the sidecar.
+        leaf = run / "posenet_best"
+        leaf.mkdir()
+        assert read_ckpt_meta(leaf)["image_size"] == 256
+        warnings = []
+        check_ckpt_meta(leaf, warn=warnings.append, image_size=512)
+        assert len(warnings) == 1 and "image_size" in warnings[0]
+        check_ckpt_meta(leaf, warn=warnings.append, image_size=256)
+        assert len(warnings) == 1  # matching config stays silent
+        # Unknown keys and missing sidecars are silently tolerated.
+        check_ckpt_meta(leaf, warn=warnings.append, det_size=640)
+        check_ckpt_meta(tmp_path / "nowhere", warn=warnings.append,
+                        image_size=1)
+        assert len(warnings) == 1
+
     def test_non_ckpt_dir_raises_clearly(self, tmp_path):
         from flope_tpu.utils.checkpoint import load_ckpt
         empty = tmp_path / "empty"
