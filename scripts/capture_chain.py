@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--score-th", type=float, default=10.0)
     ap.add_argument("--skip-generate", action="store_true",
                     help="reuse an existing capture dir")
+    ap.add_argument("--generate-only", action="store_true",
+                    help="write the capture dataset and exit (pre-stage the "
+                         "capture while the accelerator is busy)")
     ap.add_argument("--cpu", action="store_true",
                     help="run the inference stage on CPU too")
     args = ap.parse_args(argv)
@@ -73,6 +76,8 @@ def main(argv=None):
                       max_det=args.max_det,
                       domain=DomainConfig.named(args.domain))
         print(f"  capture written ({time.time() - t0:.1f}s)")
+    if args.generate_only:
+        return
 
     det_args = []
     if args.yolo_ckpt:

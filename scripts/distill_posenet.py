@@ -23,8 +23,9 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--teacher-ckpt", required=True,
-                    help="512-trained full-width PoseNet (orbax dir or .pth)")
+    ap.add_argument("--teacher-ckpt", default=None,
+                    help="512-trained full-width PoseNet (orbax dir or .pth); "
+                         "required unless --render-only")
     ap.add_argument("--width", type=float, default=0.5,
                     help="student backbone width multiplier")
     ap.add_argument("--crops", type=int, default=3072)
@@ -42,10 +43,13 @@ def main(argv=None):
     ap.add_argument("--ckpt-dir", default="weights/posenet512_student")
     ap.add_argument("--log", default="posenet_distill.jsonl")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--render-only", action="store_true",
+                    help="render + write --render-cache, then exit (no "
+                         "teacher labeling; pre-stage while the chip is busy)")
     args = ap.parse_args(argv)
 
     from flope_tpu.utils.runtime import setup_jax
-    setup_jax(cpu=args.cpu)
+    setup_jax(cpu=args.cpu or args.render_only)
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +60,25 @@ def main(argv=None):
     from flope_tpu.utils.checkpoint import load_posenet_ckpt
 
     domain = DomainConfig.named(args.domain)
+    if args.render_only:
+        import os
+        assert args.render_cache, "--render-only needs --render-cache"
+        if os.path.exists(args.render_cache):
+            print(f"{args.render_cache} already exists")
+            return 0
+        rendered = {}
+        for tag, split_seed, n in (("tr", args.seed, args.crops),
+                                   ("ev", args.seed + 1,
+                                    max(args.crops // 5, 4))):
+            rendered[tag] = synthetic_crops(
+                n, args.image_size, split_seed,
+                box_jitter=args.box_jitter, domain=domain)
+        np.savez(args.render_cache,
+                 **{f"{t}_{k}": v for t, d in rendered.items()
+                    for k, v in d.items()})
+        print(f"cached rendered crops to {args.render_cache}")
+        return 0
+    assert args.teacher_ckpt, "--teacher-ckpt required (unless --render-only)"
     teacher_vars = load_posenet_ckpt(args.teacher_ckpt)
     teacher = PoseNet(dtype=jnp.bfloat16)
 

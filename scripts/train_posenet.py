@@ -44,10 +44,13 @@ def main(argv=None):
     ap.add_argument("--dp", type=int, default=1, help="data-parallel devices")
     ap.add_argument("--tp", type=int, default=1, help="model-parallel devices")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--render-only", action="store_true",
+                    help="render + write --synthetic-cache, then exit "
+                         "(pre-stage datasets while the accelerator is busy)")
     args = ap.parse_args(argv)
 
     from flope_tpu.utils.runtime import setup_jax
-    setup_jax(cpu=args.cpu)
+    setup_jax(cpu=args.cpu or args.render_only)
 
     from flope_tpu.data.posenet_dataset import load_crop_dataset, synthetic_crops
     from flope_tpu.parallel import make_mesh
@@ -87,6 +90,8 @@ def main(argv=None):
                          **{f"tr_{k}": v for k, v in train.items()},
                          **{f"ev_{k}": v for k, v in evald.items()})
                 print(f"rendered + cached to {args.synthetic_cache}")
+            if args.render_only:
+                return 0
         else:
             train, evald = render()
     else:
