@@ -11,7 +11,8 @@ from __future__ import annotations
 from pathlib import Path
 
 __all__ = ["save_ckpt", "load_ckpt", "load_posenet_ckpt",
-           "write_ckpt_meta", "read_ckpt_meta", "check_ckpt_meta"]
+           "save_npz_ckpt", "write_ckpt_meta", "read_ckpt_meta",
+           "check_ckpt_meta"]
 
 
 def write_ckpt_meta(ckpt_dir, **meta) -> None:
@@ -33,7 +34,8 @@ def read_ckpt_meta(path) -> dict | None:
     import json
 
     p = Path(path)
-    for cand in (p / "meta.json", p.parent / "meta.json"):
+    for cand in (Path(str(p) + ".meta.json"), p / "meta.json",
+                 p.parent / "meta.json"):
         if cand.exists():
             return json.loads(cand.read_text())
     return None
@@ -85,9 +87,63 @@ def _resolve_ckpt_dir(p: Path) -> Path:
     return max(subs, key=epoch_key)
 
 
+def save_npz_ckpt(path, tree, float_dtype="bfloat16", **meta) -> None:
+    """Pack an inference pytree into ONE small npz file.
+
+    Orbax run dirs are the training format; this is the *release* format —
+    a single git-committable artifact (the hosting environment is wiped
+    between rounds, so deployed weights must live in the repo). Float leaves
+    are cast to bfloat16 (the pipelines compute in bf16 anyway — PERF.md)
+    and stored as uint16 bit patterns with a `bf16:` key prefix, since npz
+    cannot serialize ml_dtypes natively; everything else is stored raw.
+    Keys are '/'-joined tree paths. `load_ckpt` accepts the result anywhere
+    an orbax dir is accepted.
+    """
+    import jax
+    import ml_dtypes
+    import numpy as np
+
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
+                       for k in kp)
+        arr = np.asarray(leaf)
+        if float_dtype and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(ml_dtypes.bfloat16).view(np.uint16)
+            key = "bf16:" + key
+        flat[key] = arr
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+    if meta:
+        import json
+        Path(str(path) + ".meta.json").write_text(json.dumps(meta))
+
+
+def _load_npz_ckpt(path) -> dict:
+    import ml_dtypes
+    import numpy as np
+
+    tree: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            arr = z[key]
+            if key.startswith("bf16:"):
+                key = key[5:]
+                # float32 restore: downstream code (optimizers, oracles)
+                # expects full-precision leaves; values are exact bf16.
+                arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+            node = tree
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = arr
+    return tree
+
+
 def load_ckpt(path):
     """Restore a checkpoint as host numpy arrays.
 
+    Accepts an orbax leaf/run dir or a `save_npz_ckpt` release file.
     Restoring with the recorded shardings would fail across backends (a
     checkpoint written on the TPU names devices that don't exist on the CPU
     platform and vice versa), so force numpy restore_types throughout.
@@ -96,6 +152,8 @@ def load_ckpt(path):
     import numpy as np
     import orbax.checkpoint as ocp
 
+    if str(path).endswith(".npz"):
+        return _load_npz_ckpt(path)
     path = _resolve_ckpt_dir(Path(path))
     ckptr = ocp.PyTreeCheckpointer()
     meta = ckptr.metadata(Path(path).absolute())

@@ -166,6 +166,38 @@ class TestCheckpointRoundtrip:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+    def test_npz_release_roundtrip(self, tmp_path):
+        """save_npz_ckpt -> load_ckpt: the single-file release format (bf16
+        floats, raw ints) that lets deployed weights live in git."""
+        from flope_tpu.utils.checkpoint import (check_ckpt_meta, load_ckpt,
+                                                save_npz_ckpt)
+        cfg = TrainConfig(optimizer="adamw", **SMALL)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        tree = {"params": state.params, "batch_stats": state.batch_stats,
+                "step": np.int32(7)}
+        path = tmp_path / "rel" / "posenet.npz"
+        save_npz_ckpt(path, tree, image_size=48)
+        restored = load_ckpt(path)
+        p1, t1 = jax.tree_util.tree_flatten_with_path(tree)[0], None
+        flat2 = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+        assert len(p1) == len(flat2)
+        import ml_dtypes
+        for kp, a in p1:
+            b = flat2[kp]
+            a = np.asarray(a)
+            assert np.asarray(b).shape == a.shape
+            if np.issubdtype(a.dtype, np.floating):
+                # exact at bf16 precision, restored as float32
+                np.testing.assert_array_equal(
+                    np.asarray(b), a.astype(ml_dtypes.bfloat16).astype(np.float32))
+            else:
+                np.testing.assert_array_equal(np.asarray(b), a)
+        # meta sidecar participates in the config-mismatch warning
+        warnings = []
+        check_ckpt_meta(path, warn=warnings.append, image_size=512)
+        assert len(warnings) == 1
+
+
 class TestCkptDirResolution:
     def test_run_dir_resolves_to_best_then_highest_epoch(self, tmp_path):
         from flope_tpu.utils.checkpoint import _resolve_ckpt_dir
