@@ -49,6 +49,12 @@ class TrainConfig:
     seed: int = 0
     optimizer: str = "adadelta"  # parity default; 'adamw' recommended on TPU
     weight_decay: float = 0.0
+    # LR schedule: "constant" mirrors the reference (its StepLR is created but
+    # never stepped, train_posenet.py:205); "cosine" = 5% linear warmup then
+    # cosine decay to 1% of peak — needed for hard-domain convergence, where
+    # a constant 3e-4 AdamW stalls in the 20-40 deg range.
+    lr_schedule: str = "constant"
+    total_steps: int = 0  # cosine horizon; 0 = filled in by train_posenet
     image_size: int = 512
     dropout: float = 0.5
     model_dtype: Any = jnp.float32
@@ -85,10 +91,23 @@ def angle_error_deg(R_pred: jax.Array, R_gt: jax.Array) -> jax.Array:
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    if config.lr_schedule == "constant":
+        lr = config.lr
+    elif config.lr_schedule == "cosine":
+        if config.total_steps <= 0:
+            raise ValueError("cosine schedule needs total_steps > 0 "
+                             "(train_posenet fills it from epochs x batches)")
+        warmup = max(config.total_steps // 20, 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=config.lr * 0.01, peak_value=config.lr,
+            warmup_steps=warmup, decay_steps=config.total_steps,
+            end_value=config.lr * 0.01)
+    else:
+        raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
     if config.optimizer == "adadelta":
-        return optax.adadelta(learning_rate=config.lr)
+        return optax.adadelta(learning_rate=lr)
     if config.optimizer == "adamw":
-        return optax.adamw(learning_rate=config.lr,
+        return optax.adamw(learning_rate=lr,
                            weight_decay=config.weight_decay)
     raise ValueError(f"unknown optimizer {config.optimizer!r}")
 
@@ -209,6 +228,11 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
     Returns (model, final TrainState, history list).
     """
     epochs = config.epochs if epochs is None else epochs
+    if config.lr_schedule != "constant" and config.total_steps == 0:
+        n_tr = train_data["images"].shape[0]
+        steps_per_epoch = max(n_tr // min(config.batch_size, n_tr), 1)
+        config = dataclasses.replace(config,
+                                     total_steps=epochs * steps_per_epoch)
     rng = jax.random.PRNGKey(config.seed)
     np_rng = np.random.default_rng(config.seed)
     model, state = create_train_state(config, rng)

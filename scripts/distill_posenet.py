@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=120)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"])
     ap.add_argument("--box-jitter", type=float, default=0.06)
     ap.add_argument("--domain", default="flat", choices=["flat", "hard"])
     ap.add_argument("--render-cache", default=None,
@@ -125,6 +127,7 @@ def main(argv=None):
 
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, seed=args.seed, optimizer="adamw",
+                      lr_schedule=args.lr_schedule,
                       image_size=args.image_size, width_mult=args.width,
                       ckpt_dir=args.ckpt_dir, log_path=args.log)
     train_posenet(cfg, train, evald)

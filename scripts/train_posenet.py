@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--optimizer", default="adadelta",
                     choices=["adadelta", "adamw"])
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="constant = reference parity; cosine = 5%% warmup "
+                         "then cosine decay (recommended for hard-domain)")
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--synthetic-cache", default=None,
                     help="npz path: render the --synthetic crops once and "
@@ -113,6 +117,7 @@ def main(argv=None):
 
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, seed=args.seed, optimizer=args.optimizer,
+                      lr_schedule=args.lr_schedule,
                       image_size=args.image_size, ckpt_dir=args.ckpt_dir,
                       ckpt_every=args.ckpt_every, log_path=args.log)
     init_variables = None

