@@ -43,10 +43,11 @@ def main():
     ap.add_argument("--model-width", type=float, default=1.0,
                     help="PoseNet backbone width multiplier (0.5 = the "
                          "distilled 512^2 student)")
-    ap.add_argument("--emit-nhwc", action=argparse.BooleanOptionalAction,
+    ap.add_argument("--planar-stem", action=argparse.BooleanOptionalAction,
                     default=False,
-                    help="pallas backend: interleave channels in-kernel "
-                         "(skip the XLA planar->NHWC transpose)")
+                    help="pallas backend: feed the kernel's native planar "
+                         "crops straight into an NCHW PoseNet stem (no "
+                         "planar->NHWC transpose in the graph)")
     ap.add_argument("--with-detector", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench the FULL frame->poses graph including the "
@@ -89,7 +90,7 @@ def main():
     cfg = PipelineConfig(
         max_det=args.max_det, crop_size=args.crop, model_dtype=fast_dtype,
         crop_region=args.crop_region or None, crop_dtype=fast_dtype,
-        crop_backend=args.crop_backend, emit_nhwc=args.emit_nhwc,
+        crop_backend=args.crop_backend, planar_stem=args.planar_stem,
         model_width=args.model_width)
     _, variables = init_posenet(jax.random.PRNGKey(0), image_size=args.crop,
                                 dtype=cfg.model_dtype,

@@ -35,12 +35,17 @@ class PoseNet(nn.Module):
     s2d_stem: bool = False
     # Backbone channel scale (0.5 = the distilled 512^2 student).
     width_mult: float = 1.0
+    # "NHWC" or "NCHW" (planar crops straight from the Pallas kernel; the
+    # stem conv absorbs the layout change — see ResNet18.input_layout).
+    input_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: (B, H, W, 3) float in [0, 1] -> (B, 9) unconstrained rotation."""
+        """x: (B, H, W, 3) float in [0, 1] -> (B, 9) unconstrained rotation
+        ((B, 3, H, W) when input_layout == "NCHW")."""
         feats = ResNet18(dtype=self.dtype, s2d_stem=self.s2d_stem,
                          width_mult=self.width_mult,
+                         input_layout=self.input_layout,
                          name="backbone")(x, train=train)
         feats = nn.Dense(self.backbone_out_dim, name="fc")(feats)
         feats = nn.relu(feats)

@@ -109,13 +109,31 @@ class ResNet18(nn.Module):
     dtype: Any = jnp.float32
     s2d_stem: bool = False
     width_mult: float = 1.0
+    # "NHWC" (default) or "NCHW": accept planar input and fold the layout
+    # change into the stem conv's dimension numbers instead of an explicit
+    # transpose. The Pallas crop kernel emits planar (3, H, W) crops
+    # natively (channels-last would put C=3 in the lane dim); in-kernel
+    # interleave is NOT lowerable (Mosaic "unsupported shape cast" on the
+    # (H, W, 3)->(H, 3W) lane-stride-3 relayout, measured on v5e), so the
+    # planar tensor feeds the stem directly and XLA schedules the relayout
+    # inside the conv. Same parameter tree as the NHWC stem (checkpoints
+    # interchange).
+    input_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         wm = self.width_mult
         stem_f = max(int(64 * wm), 8)
         x = x.astype(self.dtype)
-        if self.s2d_stem:
+        if self.input_layout == "NCHW":
+            if self.s2d_stem:
+                raise ValueError("s2d_stem expects NHWC input")
+            w = _StemKernel(name="conv1", features=stem_f)()
+            x = jax.lax.conv_general_dilated(
+                x, w.astype(self.dtype), window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NCHW", "HWIO", "NHWC"))
+        elif self.s2d_stem:
             w = _StemKernel(name="conv1", features=stem_f)()
             b, h, ww = x.shape[0], x.shape[1], x.shape[2]
             xs = x.reshape(b, h // 2, 2, ww // 2, 2, 3)

@@ -49,7 +49,7 @@ __all__ = ["crop_resize_with_mask_pallas"]
 
 def _kernel(fidx_ref, ry_ref, rx_ref, frames_ref, wy_ref, wx_ref, out_ref,
             region, sem, *, r: int, rw: int, out_size: int, quantize: bool,
-            compute_dtype, emit_nhwc: bool):
+            compute_dtype):
     k = pl.program_id(0)
     total = pl.num_programs(0)
 
@@ -95,34 +95,38 @@ def _kernel(fidx_ref, ry_ref, rx_ref, frames_ref, wy_ref, wx_ref, out_ref,
     planes = res.reshape(4, out_size, out_size)
     m = planes[3] * (1.0 / 255.0)
     dt = out_ref.dtype
-    if emit_nhwc:
-        # Interleave channels along lanes: row-major (out, 3*out) IS the
-        # contiguous NHWC (out, out, 3) crop, so the host-side reshape is a
-        # free view and the XLA planar->NHWC transpose disappears.
-        rgbm = jnp.stack([planes[0] * m, planes[1] * m, planes[2] * m],
-                         axis=-1)                 # (out, out, 3)
-        out_ref[0] = rgbm.reshape(out_size, 3 * out_size).astype(dt)
-    else:
-        out_ref[0, 0] = (planes[0] * m).astype(dt)
-        out_ref[0, 1] = (planes[1] * m).astype(dt)
-        out_ref[0, 2] = (planes[2] * m).astype(dt)
+    # Crops leave the kernel PLANAR (3, out, out) — their natural layout.
+    # In-kernel NHWC interleave is NOT possible: the (out, out, 3) ->
+    # (out, 3*out) lane-stride-3 relayout is a Mosaic "unsupported shape
+    # cast" on real TPU (v5e, 2026-08), and the cross-register lane shuffle
+    # it would need is the same cost the XLA transpose already pays. Feed
+    # planar crops to the model instead (PoseNet input_layout="NCHW").
+    out_ref[0, 0] = (planes[0] * m).astype(dt)
+    out_ref[0, 1] = (planes[1] * m).astype(dt)
+    out_ref[0, 2] = (planes[2] * m).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "method",
                                              "quantize_uint8", "region_size",
                                              "compute_dtype", "interpret",
-                                             "emit_nhwc"))
+                                             "layout"))
 def crop_resize_with_mask_pallas(
     image: jax.Array, mask: jax.Array, boxes: jax.Array,
     out_size: int = 256, method: str = "lanczos4",
     quantize_uint8: bool = True, region_size: int = 448,
     compute_dtype: Any = jnp.float32, interpret: bool = False,
-    emit_nhwc: bool = False) -> jax.Array:
+    layout: str = "NHWC") -> jax.Array:
     """Drop-in for ops/crop_resize.crop_resize_with_mask (region path), as a
     fused Pallas kernel. Single frame: image (H, W, 3), mask (H, W) {0,255},
     boxes (N, 4) xyxy -> (N, out, out, 3). Batched: image (F, H, W, 3), mask
     (F, H, W), boxes (F, N, 4) -> (F, N, out, out, 3). Background-zeroed
     crops in [0, 255] float32 (identical contract to the XLA path).
+
+    layout="NCHW" returns the kernel's NATIVE planar crops ((..., 3, out,
+    out)) with no transpose in the graph — pair with PoseNet
+    input_layout="NCHW" so the stem conv absorbs the relayout. (In-kernel
+    NHWC interleave is a Mosaic unsupported shape cast on real TPU; the
+    planar path is the supported way to skip the explicit transpose.)
 
     Exactness bound (same caveat family as the XLA region path, tightened by
     DMA tile alignment): box height <= region_size - 16 and box width <=
@@ -209,10 +213,8 @@ def crop_resize_with_mask_pallas(
             pl.BlockSpec((1, out_size, r), lambda i, *_: (i, 0, 0)),  # wy
             pl.BlockSpec((1, rw, out_size), lambda i, *_: (i, 0, 0)),  # wx^T
         ],
-        out_specs=(pl.BlockSpec((1, out_size, 3 * out_size),
-                                lambda i, *_: (i, 0, 0)) if emit_nhwc else
-                   pl.BlockSpec((1, 3, out_size, out_size),
-                                lambda i, *_: (i, 0, 0, 0))),
+        out_specs=pl.BlockSpec((1, 3, out_size, out_size),
+                               lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 4, r, rw), store),                # double buffer
             pltpu.SemaphoreType.DMA((2,)),
@@ -220,8 +222,7 @@ def crop_resize_with_mask_pallas(
     )
     kernel = functools.partial(_kernel, r=r, rw=rw, out_size=out_size,
                                quantize=quantize_uint8,
-                               compute_dtype=compute_dtype,
-                               emit_nhwc=emit_nhwc)
+                               compute_dtype=compute_dtype)
     # bf16 output when computing in bf16: quantized crop values (integers
     # <= 255) are exact in bf16, the mask product rounds at the same 8-bit
     # precision the model input cast would apply anyway, and the planar ->
@@ -233,22 +234,21 @@ def crop_resize_with_mask_pallas(
                                   + 3 * out_size * out_size) * itemsize,
         transcendentals=0,
     )
-    out_shape = ((n_steps, out_size, 3 * out_size) if emit_nhwc else
-                 (n_steps, 3, out_size, out_size))
     crops = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(out_shape, store),
+        out_shape=jax.ShapeDtypeStruct((n_steps, 3, out_size, out_size),
+                                       store),
         grid_spec=grid_spec,
         cost_estimate=cost,
         interpret=interpret,
     )(fidx, ry, rx, frames, wy.astype(store),
       wx.astype(store).transpose(0, 2, 1))
-    if emit_nhwc:
-        # (out, 3*out) row-major == contiguous (out, out, 3): free view.
-        crops = crops.reshape(n_steps, out_size, out_size, 3).astype(
-            jnp.float32)
-    else:
-        crops = crops.transpose(0, 2, 3, 1).astype(jnp.float32)  # -> NHWC
+    if layout == "NCHW":
+        crops = crops.astype(jnp.float32)  # native planar, no transpose
+        if batched:
+            crops = crops.reshape(fcount, n, 3, out_size, out_size)
+        return crops
+    crops = crops.transpose(0, 2, 3, 1).astype(jnp.float32)  # -> NHWC
     if batched:
         crops = crops.reshape(fcount, n, out_size, out_size, 3)
     return crops

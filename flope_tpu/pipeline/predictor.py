@@ -75,9 +75,12 @@ class PipelineConfig:
     # be vmapped), requires crop_region set, measured ~1.3x faster at
     # 16x1080p on v5e.
     crop_backend: str = "xla"
-    # Pallas backend only: interleave channels in-kernel so the crop tensor
-    # leaves the kernel already NHWC (drops the XLA planar->NHWC transpose).
-    emit_nhwc: bool = False
+    # Pallas backend only: keep the kernel's native PLANAR crop layout and
+    # run PoseNet's stem with NCHW dimension numbers, so the explicit
+    # planar->NHWC transpose (measured 2.8 ms f32 / 16x1080p) never appears
+    # in the graph — XLA schedules the relayout inside the stem conv.
+    # (In-kernel NHWC interleave is a Mosaic unsupported shape cast on v5e.)
+    planar_stem: bool = False
 
     def teacher(self) -> "PipelineConfig":
         return dataclasses.replace(self, depth_scale=1.0 / 10000.0, filter_large=True)
@@ -196,16 +199,18 @@ def predict_frames(variables, rgb, depth_raw, boxes, det_valid, seg_mask, K,
             d, b, v, m, K, h, w, config))(depth_raw, boxes, det_valid,
                                           seg_mask)
         boxes_i, valid, sq, uv, xyz, depth_val = geo
+        layout = "NCHW" if config.planar_stem else "NHWC"
         crops = crop_resize_with_mask_pallas(
             rgb.astype(jnp.float32), seg_mask.astype(jnp.float32), sq,
             out_size=config.crop_size, method=config.resize_method,
             region_size=config.crop_region, compute_dtype=config.crop_dtype,
             interpret=jax.default_backend() == "cpu",
-            emit_nhwc=config.emit_nhwc,
+            layout=layout,
         ) / 255.0
         f, n = crops.shape[0], crops.shape[1]
         flat = crops.reshape(f * n, *crops.shape[2:])
-        r9 = PoseNet(dtype=config.model_dtype, width_mult=config.model_width
+        r9 = PoseNet(dtype=config.model_dtype, width_mult=config.model_width,
+                     input_layout=layout
                      ).apply(variables, flat, train=False)
         rotmats = PoseNet.to_rotmats(
             r9, yaw_nullify=config.yaw_nullify).reshape(f, n, 3, 3)

@@ -76,35 +76,37 @@ class TestCropPallas:
             interpret=True))
         assert np.abs(a - b).max() <= 4.0  # bf16 taps: image+mask LSBs compound
 
-    def test_emit_nhwc_matches_planar(self, rng):
-        """emit_nhwc=True interleaves channels in-kernel; the result must be
-        bit-identical to the planar path followed by the XLA transpose."""
+    def test_nchw_layout_matches_nhwc(self, rng):
+        """layout='NCHW' returns the kernel's native planar crops; they must
+        be exactly the NHWC result transposed (no transpose in-graph)."""
         img, mask = _scene(rng)
         boxes = np.array([[40, 30, 160, 150], [200, 100, 380, 260],
                           [0, 0, 0, 0]], np.float32)
-        planar = np.asarray(crop_resize_with_mask_pallas(
-            jnp.asarray(img), jnp.asarray(mask), jnp.asarray(boxes),
-            out_size=64, region_size=192, interpret=True))
         nhwc = np.asarray(crop_resize_with_mask_pallas(
             jnp.asarray(img), jnp.asarray(mask), jnp.asarray(boxes),
-            out_size=64, region_size=192, interpret=True, emit_nhwc=True))
-        assert nhwc.shape == planar.shape == (3, 64, 64, 3)
-        np.testing.assert_array_equal(nhwc, planar)
+            out_size=64, region_size=192, interpret=True))
+        planar = np.asarray(crop_resize_with_mask_pallas(
+            jnp.asarray(img), jnp.asarray(mask), jnp.asarray(boxes),
+            out_size=64, region_size=192, interpret=True, layout="NCHW"))
+        assert nhwc.shape == (3, 64, 64, 3)
+        assert planar.shape == (3, 3, 64, 64)
+        np.testing.assert_array_equal(planar.transpose(0, 2, 3, 1), nhwc)
 
-    def test_emit_nhwc_batched(self, rng):
+    def test_nchw_layout_batched(self, rng):
         img, mask = _scene(rng)
         imgs = np.stack([img, img[::-1].copy()])
         masks = np.stack([mask, mask])
         boxes = np.array([[[40, 30, 160, 150]], [[200, 100, 380, 260]]],
                          np.float32)
-        planar = np.asarray(crop_resize_with_mask_pallas(
-            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(boxes),
-            out_size=64, region_size=192, interpret=True))
         nhwc = np.asarray(crop_resize_with_mask_pallas(
             jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(boxes),
-            out_size=64, region_size=192, interpret=True, emit_nhwc=True))
-        assert nhwc.shape == planar.shape == (2, 1, 64, 64, 3)
-        np.testing.assert_array_equal(nhwc, planar)
+            out_size=64, region_size=192, interpret=True))
+        planar = np.asarray(crop_resize_with_mask_pallas(
+            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(boxes),
+            out_size=64, region_size=192, interpret=True, layout="NCHW"))
+        assert nhwc.shape == (2, 1, 64, 64, 3)
+        assert planar.shape == (2, 1, 3, 64, 64)
+        np.testing.assert_array_equal(planar.transpose(0, 1, 3, 4, 2), nhwc)
 
     def test_region_multiple_of_16_required(self, rng):
         img, mask = _scene(rng)

@@ -160,6 +160,28 @@ class TestFusedPipeline:
         np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
                                    atol=1e-6)
 
+    def test_planar_stem_matches_nhwc(self, posenet_vars, scene_frame):
+        """planar_stem=True feeds the Pallas kernel's native NCHW crops into
+        an NCHW-stem PoseNet — identical params, so poses must match the
+        NHWC pallas path to float tolerance (the stem conv is the same
+        contraction with relayout folded in)."""
+        import dataclasses
+        scene, frame = scene_frame
+        rgb = jnp.asarray(np.stack([frame.rgb, frame.rgb]))
+        dep = jnp.asarray(np.stack([frame.depth_mm, frame.depth_mm]))
+        box = jnp.asarray(np.stack([frame.boxes, frame.boxes]))
+        val = jnp.asarray(np.stack([frame.valid, frame.valid]))
+        msk = jnp.asarray(np.stack([frame.mask, frame.mask]))
+        K = jnp.asarray(scene.K, jnp.float32)
+        cfg_n = dataclasses.replace(CFG, crop_region=128,
+                                    crop_backend="pallas")
+        cfg_p = dataclasses.replace(cfg_n, planar_stem=True)
+        a = predict_frames(posenet_vars, rgb, dep, box, val, msk, K, cfg_n)
+        b = predict_frames(posenet_vars, rgb, dep, box, val, msk, K, cfg_p)
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                                   atol=1e-4)
+
 
 class FrameDetector:
     """Test detector handing out precomputed boxes+mask (the contract any

@@ -140,6 +140,20 @@ class TestPoseNetModel:
         tb = jax.tree.structure(v2)
         assert ta == tb
 
+    def test_nchw_input_layout_exact_and_checkpoint_compatible(self, rng):
+        """input_layout='NCHW' consumes planar crops (the Pallas kernel's
+        native layout) through the same conv1 kernel param: identical
+        outputs and an identical parameter tree as the NHWC model."""
+        model, variables = init_posenet(jax.random.key(0), image_size=64)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+        a = PoseNet().apply(variables, x, train=False)
+        b = PoseNet(input_layout="NCHW").apply(
+            variables, x.transpose(0, 3, 1, 2), train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        v2 = PoseNet(input_layout="NCHW").init(
+            jax.random.key(1), x.transpose(0, 3, 1, 2), train=False)
+        assert jax.tree.structure(variables) == jax.tree.structure(v2)
+
     def test_to_rotmats_valid(self, rng):
         r9 = jnp.asarray(rng.normal(size=(5, 9)).astype(np.float32))
         R = PoseNet.to_rotmats(r9)
