@@ -19,8 +19,11 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def run(script, *args):
+    # Generous bound: under `pytest -n 8` every worker compiles its own XLA
+    # programs while device training may be hogging the host — observed >560 s
+    # for the capture-chain subprocess under full contention.
     r = subprocess.run([sys.executable, str(REPO / "scripts" / script), *args],
-                       capture_output=True, text=True, timeout=560)
+                       capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
     return r.stdout
 
