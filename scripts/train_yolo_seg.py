@@ -95,6 +95,13 @@ def main(argv=None):
         mean = {k: float(np.mean([float(m[k]) for m in metrics]))
                 for k in metrics[0]}
         logger.log({"epoch": epoch, **mean, "sec": round(time.time() - t0, 2)})
+        if not np.isfinite(mean["total"]):
+            # Late-stage blowup (observed: flat-domain run NaN'd at epoch
+            # 148/150 after converging to total 1.17). Params are garbage
+            # from here on — stop, keep the finite-loss best snapshot.
+            print(f"loss non-finite at epoch {epoch}; stopping "
+                  f"(best finite total {best['loss']:.4f})")
+            break
         if args.ckpt_every > 0 and epoch % args.ckpt_every == 0:
             save_ckpt(f"{args.ckpt_dir}/yolo_e{epoch}",
                       {"params": params, "batch_stats": stats})
