@@ -18,6 +18,11 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="cosine = 5%% warmup then decay to 1%% of peak; "
+                         "constant 1e-3 AdamW was observed to blow up to "
+                         "NaN at epoch 148/150 after converging")
     ap.add_argument("--ckpt-dir", default="weights_yolo")
     ap.add_argument("--ckpt-every", type=int, default=0,
                     help="snapshot every N epochs (0 = final + best-loss "
@@ -54,7 +59,17 @@ def main(argv=None):
         variables = {"params": tree["params"],
                      "batch_stats": tree["batch_stats"]}
         print(f"warm-started from {args.warm_start}")
-    tx = optax.adamw(args.lr, weight_decay=cfg.weight_decay)
+    if args.lr_schedule == "cosine":
+        n_tr = data["images"].shape[0]
+        steps_per_epoch = max(n_tr // min(args.batch_size, n_tr), 1)
+        total = args.epochs * steps_per_epoch
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=args.lr * 0.01, peak_value=args.lr,
+            warmup_steps=max(total // 20, 1), decay_steps=total,
+            end_value=args.lr * 0.01)
+    else:
+        lr = args.lr
+    tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
     step = make_yolo_train_step(model, tx, cfg)
     params, stats = variables["params"], variables["batch_stats"]
     opt = tx.init(params)
