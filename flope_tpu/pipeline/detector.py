@@ -35,11 +35,13 @@ __all__ = ["yolo_detect", "detect_and_pose", "detect_and_pose_frames",
 
 @functools.partial(jax.jit, static_argnames=("det_size", "max_det", "score_th",
                                              "iou_th", "scale", "num_classes",
-                                             "refine_boxes", "resize_dtype"))
+                                             "refine_boxes", "resize_dtype",
+                                             "model_dtype"))
 def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
                 max_det: int = 16, score_th: float = 0.25, iou_th: float = 0.7,
                 scale: str = "n", num_classes: int = 1,
-                refine_boxes: bool = False, resize_dtype=jnp.float32):
+                refine_boxes: bool = False, resize_dtype=jnp.float32,
+                model_dtype=jnp.float32):
     """One frame -> (boxes in frame coords, scores, valid, union mask at frame res).
 
     The frame is stretch-resized to (det_size, det_size) for the net (the
@@ -51,11 +53,16 @@ def yolo_detect(yolo_variables: dict, rgb: jax.Array, det_size: int = 640,
     resize_dtype=jnp.bfloat16 runs both resize contractions (1080p->det_size
     frame, proto->frame mask) on the MXU in one pass; sub-LSB drift on the
     0..255 scale, feeding a bf16 model and a >128-thresholded mask.
+
+    model_dtype=jnp.bfloat16 runs the YOLO forward itself in bf16 (params
+    stay f32; decode_predictions/postprocess cast the raw heads back to f32
+    before DFL decode, so box arithmetic is unaffected).
     """
     h, w = rgb.shape[0], rgb.shape[1]
     inp = resize_image(rgb.astype(jnp.float32), det_size, det_size,
                        method="bilinear", compute_dtype=resize_dtype) / 255.0
-    raw = Yolo11Seg(num_classes=num_classes, scale=scale).apply(
+    raw = Yolo11Seg(num_classes=num_classes, scale=scale,
+                    dtype=model_dtype).apply(
         yolo_variables, inp[None], train=False)
     dec = decode_predictions(raw)
     post = postprocess({k: v[0] for k, v in dec.items()}, raw["proto"][0],
@@ -87,7 +94,8 @@ def detect_and_pose(yolo_variables: dict, posenet_variables: dict,
     """
     boxes, _, valid, mask = yolo_detect(
         yolo_variables, rgb, det_size, config.max_det, score_th, iou_th, scale,
-        refine_boxes=refine_boxes, resize_dtype=config.crop_dtype)
+        refine_boxes=refine_boxes, resize_dtype=config.crop_dtype,
+        model_dtype=config.model_dtype)
     return predict_frame(posenet_variables, rgb, depth_raw, boxes, valid,
                          mask, K, config)
 
@@ -108,7 +116,8 @@ def detect_and_pose_frames(yolo_variables: dict, posenet_variables: dict,
     Pallas crop kernel needs the explicit frame batch)."""
     det = jax.vmap(lambda r: yolo_detect(
         yolo_variables, r, det_size, config.max_det, score_th, iou_th, scale,
-        refine_boxes=refine_boxes, resize_dtype=config.crop_dtype))(rgbs)
+        refine_boxes=refine_boxes, resize_dtype=config.crop_dtype,
+        model_dtype=config.model_dtype))(rgbs)
     boxes, _, valid, masks = det
     return predict_frames(posenet_variables, rgbs, depths_raw, boxes, valid,
                           masks, K, config)
@@ -119,7 +128,8 @@ class YoloJaxDetector:
 
     def __init__(self, variables: dict, det_size: int = 640, max_det: int = 16,
                  score_th: float = 0.25, iou_th: float = 0.7, scale: str = "n",
-                 refine_boxes: bool = False, resize_dtype=jnp.float32):
+                 refine_boxes: bool = False, resize_dtype=jnp.float32,
+                 model_dtype=jnp.float32):
         self.variables = variables
         self.det_size = det_size
         self.max_det = max_det
@@ -128,12 +138,14 @@ class YoloJaxDetector:
         self.scale = scale
         self.refine_boxes = refine_boxes
         self.resize_dtype = resize_dtype
+        self.model_dtype = model_dtype
 
     def detect(self, rgb: np.ndarray):
         boxes, _, valid, mask = yolo_detect(
             self.variables, jnp.asarray(rgb), self.det_size, self.max_det,
             self.score_th, self.iou_th, self.scale,
-            refine_boxes=self.refine_boxes, resize_dtype=self.resize_dtype)
+            refine_boxes=self.refine_boxes, resize_dtype=self.resize_dtype,
+            model_dtype=self.model_dtype)
         return (np.asarray(boxes), np.asarray(valid),
                 np.asarray(mask).astype(np.uint8))
 

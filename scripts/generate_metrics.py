@@ -80,7 +80,8 @@ def main(argv=None):
         detector = YoloJaxDetector(
             yolo_v, det_size=args.det_size, max_det=args.max_det,
             score_th=args.score_th, refine_boxes=args.refine_boxes,
-            resize_dtype=jnp.bfloat16 if args.fast else jnp.float32)
+            resize_dtype=jnp.bfloat16 if args.fast else jnp.float32,
+            model_dtype=jnp.bfloat16 if args.fast else jnp.float32)
 
     if args.fast:
         import jax.numpy as jnp
