@@ -216,6 +216,24 @@ def yolo_loss(raw: dict, gt_boxes: jax.Array, gt_valid: jax.Array,
     return total, losses
 
 
+def make_yolo_optimizer(lr, cfg: YoloTrainConfig, clip_norm: float = 10.0,
+                        max_skips: int = 100) -> optax.GradientTransformation:
+    """Clipped AdamW with non-finite steps skipped, not applied.
+
+    Unguarded AdamW on the YOLO loss blows up sporadically (observed: flat
+    run NaN at epoch 148/150, hard-1600 warm-started runs at epochs 6 and 17
+    at two different LRs) — one bad batch poisons the params and ends the
+    run. Global-norm clipping bounds the update; `apply_if_finite` restores
+    the optimizer state and leaves params untouched whenever any gradient
+    leaf is non-finite, so a single pathological batch costs one step
+    instead of the whole run. Training aborts only after `max_skips`
+    consecutive skipped steps.
+    """
+    inner = optax.chain(optax.clip_by_global_norm(clip_norm),
+                        optax.adamw(lr, weight_decay=cfg.weight_decay))
+    return optax.apply_if_finite(inner, max_consecutive_errors=max_skips)
+
+
 def make_yolo_train_step(model: Yolo11Seg, tx: optax.GradientTransformation,
                          cfg: YoloTrainConfig):
     @jax.jit
@@ -229,8 +247,16 @@ def make_yolo_train_step(model: Yolo11Seg, tx: optax.GradientTransformation,
 
         (total, (parts, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        # A non-finite forward also poisons the batch-norm running stats,
+        # which apply_if_finite cannot see — gate them on the same predicate.
+        ok = jnp.isfinite(total)
+        for g in jax.tree.leaves(grads):
+            ok &= jnp.all(jnp.isfinite(g))
+        new_stats = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_stats, batch_stats)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_stats, new_opt, {"total": total, **parts}
+        return new_params, new_stats, new_opt, {
+            "total": total, **parts, "skipped": 1.0 - ok.astype(jnp.float32)}
 
     return step

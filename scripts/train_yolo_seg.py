@@ -69,7 +69,8 @@ def main(argv=None):
             end_value=args.lr * 0.01)
     else:
         lr = args.lr
-    tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
+    from flope_tpu.train.yolo_train import make_yolo_optimizer
+    tx = make_yolo_optimizer(lr, cfg)
     step = make_yolo_train_step(model, tx, cfg)
     params, stats = variables["params"], variables["batch_stats"]
     opt = tx.init(params)
@@ -107,14 +108,20 @@ def main(argv=None):
             params, stats, opt, m = step(params, stats, opt, imgs, boxes,
                                          valid, masks)
             metrics.append(m)
-        mean = {k: float(np.mean([float(m[k]) for m in metrics]))
-                for k in metrics[0]}
-        logger.log({"epoch": epoch, **mean, "sec": round(time.time() - t0, 2)})
-        if not np.isfinite(mean["total"]):
-            # Late-stage blowup (observed: flat-domain run NaN'd at epoch
-            # 148/150 after converging to total 1.17). Params are garbage
-            # from here on — stop, keep the finite-loss best snapshot.
-            print(f"loss non-finite at epoch {epoch}; stopping "
+        # Non-finite steps are SKIPPED by the optimizer (make_yolo_optimizer:
+        # apply_if_finite + batch-stats gating), so params stay finite;
+        # aggregate over the finite steps and halt only if an entire epoch
+        # produced nothing usable.
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+            mean = {k: float(np.nanmean([float(m[k]) for m in metrics]))
+                    for k in metrics[0]}
+        bad = int(sum(not np.isfinite(float(m["total"])) for m in metrics))
+        logger.log({"epoch": epoch, **mean, "nonfinite_steps": bad,
+                    "sec": round(time.time() - t0, 2)})
+        if bad == len(metrics):
+            print(f"every step non-finite at epoch {epoch}; stopping "
                   f"(best finite total {best['loss']:.4f})")
             break
         if args.ckpt_every > 0 and epoch % args.ckpt_every == 0:

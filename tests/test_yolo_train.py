@@ -167,3 +167,53 @@ class TestLossAndLearning:
             losses.append(float(m["total"]))
             assert np.isfinite(losses[-1])
         assert losses[-1] < losses[0], losses
+
+
+class TestNonFiniteGuard:
+    """One pathological batch must cost one step, not the run.
+
+    Observed blowups: flat YOLO NaN at epoch 148/150, hard-1600 warm-started
+    runs NaN at epochs 6 and 17 at two different LRs — the guarded optimizer
+    (make_yolo_optimizer) skips the update and the train step gates the
+    batch-norm running stats on gradient finiteness.
+    """
+
+    def test_optimizer_skips_nonfinite_update(self):
+        from flope_tpu.train.yolo_train import make_yolo_optimizer
+        tx = make_yolo_optimizer(1e-2, CFG, clip_norm=1.0, max_skips=3)
+        params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+        opt = tx.init(params)
+        good = {"w": jnp.full((4,), 100.0), "b": jnp.ones((2,))}
+
+        # Finite grads: applied, and clipped to global norm 1.
+        up, opt = tx.update(good, opt, params)
+        norm = float(optax.global_norm(up))
+        assert 0 < norm, "finite update must be applied"
+        p1 = optax.apply_updates(params, up)
+
+        # Poisoned grads: the update must be exactly zero (params untouched)
+        # and the inner optimizer state must be restored, not advanced.
+        bad = {"w": jnp.array([1.0, jnp.nan, 1.0, 1.0]), "b": jnp.ones((2,))}
+        up2, opt2 = tx.update(bad, opt, p1)
+        assert all(float(jnp.abs(u).max()) == 0.0 for u in jax.tree.leaves(up2))
+        assert int(opt2.notfinite_count) == 1
+
+        # Recovery: the next finite step applies again.
+        up3, opt3 = tx.update(good, opt2, p1)
+        assert float(optax.global_norm(up3)) > 0
+        assert int(opt3.notfinite_count) == 0
+
+    def test_step_gates_batch_stats_on_nan_batch(self, setup):
+        _, v, tx, step = setup
+        rng = np.random.default_rng(1)
+        gtb = jnp.asarray([[[16.0, 16, 48, 48]] + [[0, 0, 0, 0]] * 3])
+        gtv = jnp.asarray([[True, False, False, False]])
+        gtm = jnp.zeros((1, 4, 16, 16)).at[:, 0, 4:12, 4:12].set(1.0)
+        params, stats = v["params"], v["batch_stats"]
+        opt = tx.init(params)
+        nan_images = jnp.full((1, 64, 64, 3), jnp.nan, jnp.float32)
+        _, new_stats, _, m = step(params, stats, opt, nan_images, gtb, gtv, gtm)
+        assert float(m["skipped"]) == 1.0
+        # Running stats must be byte-identical to the pre-step stats.
+        for old, new in zip(jax.tree.leaves(stats), jax.tree.leaves(new_stats)):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
