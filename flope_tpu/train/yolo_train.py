@@ -216,9 +216,9 @@ def yolo_loss(raw: dict, gt_boxes: jax.Array, gt_valid: jax.Array,
     return total, losses
 
 
-def make_yolo_optimizer(lr, cfg: YoloTrainConfig, clip_norm: float = 10.0,
-                        max_skips: int = 100) -> optax.GradientTransformation:
-    """Clipped AdamW with non-finite steps skipped, not applied.
+def make_yolo_optimizer(lr, cfg: YoloTrainConfig,
+                        clip_norm: float = 10.0) -> optax.GradientTransformation:
+    """Clipped AdamW with non-finite steps skipped, never applied.
 
     Unguarded AdamW on the YOLO loss blows up sporadically (observed: flat
     run NaN at epoch 148/150, hard-1600 warm-started runs at epochs 6 and 17
@@ -226,12 +226,18 @@ def make_yolo_optimizer(lr, cfg: YoloTrainConfig, clip_norm: float = 10.0,
     run. Global-norm clipping bounds the update; `apply_if_finite` restores
     the optimizer state and leaves params untouched whenever any gradient
     leaf is non-finite, so a single pathological batch costs one step
-    instead of the whole run. Training aborts only after `max_skips`
-    consecutive skipped steps.
+    instead of the whole run.
+
+    `max_consecutive_errors` is set effectively to infinity on purpose:
+    optax's give-up path APPLIES the non-finite update (poisoning params
+    silently), which is never acceptable. Aborting after too many
+    consecutive skips is the training loop's job — the train step exposes
+    the consecutive-skip counter as the `nf_count` metric so the loop can
+    stop and restore a finite snapshot instead.
     """
     inner = optax.chain(optax.clip_by_global_norm(clip_norm),
                         optax.adamw(lr, weight_decay=cfg.weight_decay))
-    return optax.apply_if_finite(inner, max_consecutive_errors=max_skips)
+    return optax.apply_if_finite(inner, max_consecutive_errors=2**30)
 
 
 def make_yolo_train_step(model: Yolo11Seg, tx: optax.GradientTransformation,
@@ -256,7 +262,14 @@ def make_yolo_train_step(model: Yolo11Seg, tx: optax.GradientTransformation,
             lambda new, old: jnp.where(ok, new, old), new_stats, batch_stats)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # apply_if_finite skips on non-finite UPDATES (post-clip grads); our
+        # `ok` predicate (raw grads + loss) can disagree on edge cases, so
+        # report the optimizer's own consecutive-skip counter too — the
+        # training loop aborts on it rather than trusting a re-derivation.
+        nf_count = getattr(new_opt, "notfinite_count",
+                           jnp.zeros([], jnp.int32))
         return new_params, new_stats, new_opt, {
-            "total": total, **parts, "skipped": 1.0 - ok.astype(jnp.float32)}
+            "total": total, **parts, "skipped": 1.0 - ok.astype(jnp.float32),
+            "nf_count": nf_count.astype(jnp.float32)}
 
     return step

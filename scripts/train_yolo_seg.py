@@ -32,6 +32,13 @@ def main(argv=None):
                     help="orbax ckpt (or training --ckpt-dir) to initialize "
                          "from; image-size independent (anchor-free head)")
     ap.add_argument("--log", default="yolo_train.jsonl")
+    ap.add_argument("--no-seg", action="store_true",
+                    help="train the detector only (mask-loss weight 0) — the "
+                         "bbox-only flavor of the reference's "
+                         "scripts/train_yolo.py:3-5")
+    ap.add_argument("--max-skips", type=int, default=100,
+                    help="abort (restoring the best finite snapshot) after "
+                         "this many CONSECUTIVE optimizer-skipped steps")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -51,7 +58,8 @@ def main(argv=None):
     data = load_yolo_seg_dataset(args.data, "train", args.image_size)
     print(f"train samples: {data['images'].shape[0]}")
     cfg = YoloTrainConfig(image_size=args.image_size, scale=args.scale,
-                          lr=args.lr)
+                          lr=args.lr,
+                          w_seg=0.0 if args.no_seg else 1.0)
     model, variables = init_yolo(jax.random.PRNGKey(0), args.image_size,
                                  args.scale)
     if args.warm_start:
@@ -110,24 +118,31 @@ def main(argv=None):
             metrics.append(m)
         # Non-finite steps are SKIPPED by the optimizer (make_yolo_optimizer:
         # apply_if_finite + batch-stats gating), so params stay finite;
-        # aggregate over the finite steps and halt only if an entire epoch
-        # produced nothing usable.
+        # aggregate over the finite steps.  `skipped` is the step's own
+        # skip predicate (covers finite-loss/NaN-grad steps that a
+        # total-based count would miss); `nf_count` is the optimizer's
+        # consecutive-skip counter, which carries ACROSS epochs.
         import warnings
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
             mean = {k: float(np.nanmean([float(m[k]) for m in metrics]))
-                    for k in metrics[0]}
-        bad = int(sum(not np.isfinite(float(m["total"])) for m in metrics))
-        logger.log({"epoch": epoch, **mean, "nonfinite_steps": bad,
+                    for k in metrics[0] if k != "nf_count"}
+        skipped = int(sum(float(m["skipped"]) for m in metrics))
+        max_nf = max(int(m["nf_count"]) for m in metrics)
+        logger.log({"epoch": epoch, **mean, "skipped_steps": skipped,
+                    "consec_skips": max_nf,
                     "sec": round(time.time() - t0, 2)})
-        if bad == len(metrics):
-            print(f"every step non-finite at epoch {epoch}; stopping "
-                  f"(best finite total {best['loss']:.4f})")
+        if max_nf >= args.max_skips:
+            print(f"{max_nf} consecutive skipped steps at epoch {epoch}; "
+                  f"aborting (best finite total {best['loss']:.4f})")
             break
         if args.ckpt_every > 0 and epoch % args.ckpt_every == 0:
             save_ckpt(f"{args.ckpt_dir}/yolo_e{epoch}",
                       {"params": params, "batch_stats": stats})
-        if mean["total"] < best["loss"]:
+        # Best-snapshot eligibility: only epochs with NO skipped steps — a
+        # mostly-skipped epoch's mean over the few surviving batches is not
+        # comparable, and the end-of-epoch params aren't what produced it.
+        if skipped == 0 and mean["total"] < best["loss"]:
             # Device-resident copy (the step does not donate, but copying
             # keeps the snapshot independent of later updates).
             best = {"loss": mean["total"],

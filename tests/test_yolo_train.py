@@ -180,7 +180,7 @@ class TestNonFiniteGuard:
 
     def test_optimizer_skips_nonfinite_update(self):
         from flope_tpu.train.yolo_train import make_yolo_optimizer
-        tx = make_yolo_optimizer(1e-2, CFG, clip_norm=1.0, max_skips=3)
+        tx = make_yolo_optimizer(1e-2, CFG, clip_norm=1.0)
         params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
         opt = tx.init(params)
         good = {"w": jnp.full((4,), 100.0), "b": jnp.ones((2,))}
@@ -202,6 +202,24 @@ class TestNonFiniteGuard:
         up3, opt3 = tx.update(good, opt2, p1)
         assert float(optax.global_norm(up3)) > 0
         assert int(opt3.notfinite_count) == 0
+
+    def test_optimizer_never_gives_up(self):
+        """optax.apply_if_finite APPLIES the NaN update once notfinite_count
+        exceeds max_consecutive_errors — the guarded optimizer must be
+        configured so that give-up path is unreachable; aborting is the
+        training loop's job (scripts/train_yolo_seg.py --max-skips)."""
+        from flope_tpu.train.yolo_train import make_yolo_optimizer
+        tx = make_yolo_optimizer(1e-2, CFG, clip_norm=1.0)
+        params = {"w": jnp.ones((4,))}
+        opt = tx.init(params)
+        bad = {"w": jnp.array([1.0, jnp.nan, 1.0, 1.0])}
+        for i in range(200):
+            up, opt = tx.update(bad, opt, params)
+            assert all(float(jnp.abs(u).max()) == 0.0
+                       for u in jax.tree.leaves(up)), f"NaN applied at {i}"
+        assert int(opt.notfinite_count) == 200
+        params = optax.apply_updates(params, up)
+        assert np.isfinite(np.asarray(params["w"])).all()
 
     def test_step_gates_batch_stats_on_nan_batch(self, setup):
         _, v, tx, step = setup
