@@ -55,6 +55,9 @@ def main():
                          "independent); --no-with-detector benches the "
                          "boxes+mask->poses tail only")
     ap.add_argument("--det-size", type=int, default=640)
+    ap.add_argument("--latency-iters", type=int, default=30,
+                    help="fenced iterations for the p50/p99 frame-latency "
+                         "measurement (0 = skip latency)")
     ap.add_argument("--streaming", action="store_true",
                     help="feed each iteration's frames host->device (uint8 "
                          "rgb + uint16 depth-mm) through the double-buffered "
@@ -171,6 +174,37 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
 
     crops_per_sec = args.frames * args.max_det / dt
+
+    # Frame latency, first-class (BASELINE.json names "p50 frame latency";
+    # the reference's per-frame loop is scripts/live_pose.py:22-41). Each
+    # iteration is fenced by a scalar host readback — the only reliable
+    # fence through the remote-execution relay — so the numbers include one
+    # host round-trip, an upper bound on true device latency.
+    def fenced_ms(fn, iters):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn())
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return ts
+
+    latency = {}
+    if args.latency_iters > 0:
+        b1 = jax.tree.map(lambda x: x[:1], batch)
+        float(run(variables, b1, K))  # compile batch-1 graph
+        float(run(variables, b1, K))
+        lat_b1 = fenced_ms(lambda: run(variables, b1, K), args.latency_iters)
+        lat_bn = fenced_ms(lambda: run(variables, batch, K),
+                           args.latency_iters)
+        latency = {
+            "latency_b1_p50_ms": round(float(np.percentile(lat_b1, 50)), 2),
+            "latency_b1_p99_ms": round(float(np.percentile(lat_b1, 99)), 2),
+            f"latency_b{args.frames}_p50_ms":
+                round(float(np.percentile(lat_bn, 50)), 2),
+            f"latency_b{args.frames}_p99_ms":
+                round(float(np.percentile(lat_bn, 99)), 2),
+        }
+
     baseline = 5000.0  # BASELINE.json north star: >=5k crops/sec/chip
     metric = ("detect_to_pose_crops_per_sec_per_chip" if args.with_detector
               else "detect_tail_crops_per_sec_per_chip")
@@ -181,6 +215,7 @@ def main():
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 3),
+        **latency,
         "config": {"crop": args.crop, "frames": args.frames,
                    "max_det": args.max_det, "dtype": args.dtype,
                    "resolution": f"{args.width}x{args.height}",

@@ -190,9 +190,10 @@ class TeacherDetector:
         res = self.gdino_processor.post_process_grounded_object_detection(
             out, inputs.input_ids, threshold=self.box_th,
             text_threshold=self.text_th, target_sizes=[(h, w)])[0]
-        boxes_list = [b for b, lab in zip(res["boxes"].cpu().numpy(),
-                                          res["labels"])
-                      if "flower" in lab][: self.max_det]
+        # transformers >= 4.51 deprecates string `labels` for `text_labels`.
+        labels = res.get("text_labels", res["labels"])
+        boxes_list = [b for b, lab in zip(res["boxes"].cpu().numpy(), labels)
+                      if "flower" in str(lab)][: self.max_det]
         boxes = np.zeros((self.max_det, 4), np.int32)
         valid = np.zeros((self.max_det,), bool)
         mask = np.zeros((h, w), np.uint8)

@@ -160,7 +160,16 @@ def yolo_loss(raw: dict, gt_boxes: jax.Array, gt_valid: jax.Array,
         [c.reshape(b, -1, cfg.num_classes) for c in raw["cls"]], axis=1)
 
     def per_image(pred_boxes, scores, dlog, clog, mc, proto, gtb, gtv, gtm):
-        asg = assign_targets(anchor_pts, pred_boxes, scores[:, 0], gtb, gtv, cfg)
+        # Assignment is TARGET CONSTRUCTION, not a differentiable stage —
+        # ultralytics runs its assigner under torch.no_grad. Differentiating
+        # through it is also numerically fatal: d/dx x**alpha (alpha=0.5) is
+        # infinite at x=0, and background sigmoid scores underflow to exactly
+        # 0.0 as training pushes their logits down — observed as a skip rate
+        # climbing from 0 to ~90% of steps by epoch 25 of the hard-domain
+        # run (NaN grads on most batches, probe: logits -200 -> grad NaN).
+        asg = assign_targets(anchor_pts, jax.lax.stop_gradient(pred_boxes),
+                             jax.lax.stop_gradient(scores[:, 0]), gtb, gtv,
+                             cfg)
         fg = asg["fg"]
         n_fg = jnp.maximum(jnp.sum(asg["cls_target"]), 1.0)
         # cls: BCE with soft targets over ALL anchors.

@@ -203,6 +203,57 @@ class TestNonFiniteGuard:
         assert float(optax.global_norm(up3)) > 0
         assert int(opt3.notfinite_count) == 0
 
+    def test_assignment_is_stop_gradient(self):
+        """Targets must carry NO gradient back into predictions: x**0.5 has
+        an infinite derivative at 0, and background sigmoid scores underflow
+        to exactly 0.0 once training pushes their logits past ~-90 — the
+        root cause of the hard-1600 run's skip rate climbing to ~90% of
+        steps by epoch 25 (and of the three pre-guard NaN blowups)."""
+        pts = jnp.stack([jnp.linspace(2.0, 62, 16),
+                         jnp.linspace(2.0, 62, 16)], -1)
+        gtb = jnp.asarray([[0.0, 0, 64, 64]])
+        gtv = jnp.asarray([True])
+        boxes = jnp.tile(jnp.asarray([[1.0, 1, 63, 63]]), (16, 1))
+
+        def targets_sum(logits):
+            asg = assign_targets(pts, jax.lax.stop_gradient(boxes),
+                                 jax.lax.stop_gradient(jax.nn.sigmoid(logits)),
+                                 gtb, gtv, CFG)
+            return jnp.sum(asg["cls_target"])
+
+        # Underflowed sigmoid (exactly 0.0): grad must be exactly zero, not
+        # NaN/inf (without stop_gradient it is NaN — the regression).
+        g = jax.grad(targets_sum)(jnp.full((16,), -200.0))
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def test_loss_grad_finite_with_underflowed_scores(self, setup):
+        """End-to-end: the full loss gradient stays finite when the class
+        head's sigmoid underflows (bias forced to -200)."""
+        model, v, _, _ = setup
+        images = jnp.zeros((1, 64, 64, 3))
+        gtb = jnp.asarray([[[16.0, 16, 48, 48]] + [[0, 0, 0, 0]] * 3])
+        gtv = jnp.asarray([[True, False, False, False]])
+        gtm = jnp.zeros((1, 4, 16, 16)).at[:, 0, 4:12, 4:12].set(1.0)
+
+        def poison(path, leaf):
+            keys = jax.tree_util.keystr(path)
+            if "cls" in keys and "bias" in keys:
+                return jnp.full_like(leaf, -200.0)
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(poison, v["params"])
+
+        def loss_fn(p):
+            raw = model.apply({"params": p,
+                               "batch_stats": v["batch_stats"]},
+                              images, train=False)
+            total, _ = yolo_loss(raw, gtb, gtv, gtm, CFG)
+            return total
+
+        grads = jax.grad(loss_fn)(params)
+        for leaf in jax.tree.leaves(grads):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
     def test_optimizer_never_gives_up(self):
         """optax.apply_if_finite APPLIES the NaN update once notfinite_count
         exceeds max_consecutive_errors — the guarded optimizer must be
