@@ -32,6 +32,9 @@ def main(argv=None):
                     help="constant = reference parity; cosine = 5%% warmup "
                          "then cosine decay (recommended for hard-domain)")
     ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--width", type=float, default=1.0,
+                    help="backbone channel width multiplier (0.5 = the "
+                         "512^2 distilled-student size)")
     ap.add_argument("--synthetic-cache", default=None,
                     help="npz path: render the --synthetic crops once and "
                          "reuse (rendering is host-CPU-bound; caching lets "
@@ -118,7 +121,8 @@ def main(argv=None):
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, seed=args.seed, optimizer=args.optimizer,
                       lr_schedule=args.lr_schedule,
-                      image_size=args.image_size, ckpt_dir=args.ckpt_dir,
+                      image_size=args.image_size, width_mult=args.width,
+                      ckpt_dir=args.ckpt_dir,
                       ckpt_every=args.ckpt_every, log_path=args.log)
     init_variables = None
     if args.warm_start:
