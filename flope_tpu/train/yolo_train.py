@@ -32,7 +32,7 @@ import optax
 from flope_tpu.models.yolo import STRIDES, Yolo11Seg
 
 __all__ = ["YoloTrainConfig", "make_anchors", "ciou", "assign_targets",
-           "yolo_loss", "make_yolo_train_step"]
+           "yolo_loss", "augment_batch", "make_yolo_train_step"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,6 +225,48 @@ def yolo_loss(raw: dict, gt_boxes: jax.Array, gt_valid: jax.Array,
     return total, losses
 
 
+def augment_batch(key: jax.Array, images: jax.Array, gt_boxes: jax.Array,
+                  gt_masks: jax.Array, image_size: int):
+    """In-graph training augmentation: flips + photometric jitter.
+
+    The reference's detector training inherited ultralytics' augmentation
+    stack (hsv/flip/mosaic) for free; without any augmentation our trainer
+    overfits the rendered scenes' lighting and layout chirality. This is the
+    cheap, fixed-shape subset that moves detection recall: per-image
+    horizontal/vertical flips (label-consistent: boxes mirrored in pixel
+    coords, instance masks mirrored at proto resolution) and photometric
+    jitter (brightness x U(0.6,1.4), per-channel gain U(0.85,1.15), additive
+    U(-0.05,0.05)). Geometric rescaling stays in the data generator
+    (homography augmentation) where resampling is free.
+
+    images: (B, S, S, 3) float in [0,1]; gt_boxes: (B, G, 4) pixel xyxy;
+    gt_masks: (B, G, Hp, Wp) float instance masks at proto resolution.
+    """
+    b = images.shape[0]
+    kh, kv, kb, kc, ka = jax.random.split(key, 5)
+    hflip = jax.random.bernoulli(kh, 0.5, (b,))
+    vflip = jax.random.bernoulli(kv, 0.5, (b,))
+
+    def flip_one(img, boxes, masks, h, v):
+        img = jnp.where(h, img[:, ::-1], img)
+        img = jnp.where(v, img[::-1], img)
+        masks = jnp.where(h, masks[:, :, ::-1], masks)
+        masks = jnp.where(v, masks[:, ::-1, :], masks)
+        x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        s = float(image_size)
+        x1, x2 = (jnp.where(h, s - x2, x1), jnp.where(h, s - x1, x2))
+        y1, y2 = (jnp.where(v, s - y2, y1), jnp.where(v, s - y1, y2))
+        return img, jnp.stack([x1, y1, x2, y2], -1), masks
+
+    images, gt_boxes, gt_masks = jax.vmap(flip_one)(
+        images, gt_boxes, gt_masks, hflip, vflip)
+    bright = jax.random.uniform(kb, (b, 1, 1, 1), minval=0.6, maxval=1.4)
+    gain = jax.random.uniform(kc, (b, 1, 1, 3), minval=0.85, maxval=1.15)
+    add = jax.random.uniform(ka, (b, 1, 1, 1), minval=-0.05, maxval=0.05)
+    images = jnp.clip(images * bright * gain + add, 0.0, 1.0)
+    return images, gt_boxes, gt_masks
+
+
 def make_yolo_optimizer(lr, cfg: YoloTrainConfig,
                         clip_norm: float = 10.0) -> optax.GradientTransformation:
     """Clipped AdamW with non-finite steps skipped, never applied.
@@ -250,9 +292,17 @@ def make_yolo_optimizer(lr, cfg: YoloTrainConfig,
 
 
 def make_yolo_train_step(model: Yolo11Seg, tx: optax.GradientTransformation,
-                         cfg: YoloTrainConfig):
+                         cfg: YoloTrainConfig, augment: bool = False):
+    """One jitted train step. With augment=True the step takes a trailing
+    PRNG key and applies `augment_batch` on device before the forward."""
+
     @jax.jit
-    def step(params, batch_stats, opt_state, images, gt_boxes, gt_valid, gt_masks):
+    def step(params, batch_stats, opt_state, images, gt_boxes, gt_valid,
+             gt_masks, aug_key=None):
+        if augment:
+            images, gt_boxes, gt_masks = augment_batch(
+                aug_key, images, gt_boxes, gt_masks, cfg.image_size)
+
         def loss_fn(p):
             raw, updates = model.apply(
                 {"params": p, "batch_stats": batch_stats}, images, train=True,

@@ -36,6 +36,9 @@ def main(argv=None):
                     help="train the detector only (mask-loss weight 0) — the "
                          "bbox-only flavor of the reference's "
                          "scripts/train_yolo.py:3-5")
+    ap.add_argument("--augment", action="store_true",
+                    help="in-graph flip + photometric augmentation "
+                         "(flope_tpu.train.yolo_train.augment_batch)")
     ap.add_argument("--max-skips", type=int, default=100,
                     help="abort (restoring the best finite snapshot) after "
                          "this many CONSECUTIVE optimizer-skipped steps")
@@ -79,7 +82,8 @@ def main(argv=None):
         lr = args.lr
     from flope_tpu.train.yolo_train import make_yolo_optimizer
     tx = make_yolo_optimizer(lr, cfg)
-    step = make_yolo_train_step(model, tx, cfg)
+    step = make_yolo_train_step(model, tx, cfg, augment=args.augment)
+    aug_rng = jax.random.PRNGKey(args.epochs * 7919 + 1)
     params, stats = variables["params"], variables["batch_stats"]
     opt = tx.init(params)
     logger = JsonlLogger(args.log, echo=True)
@@ -113,8 +117,13 @@ def main(argv=None):
         metrics = []
         for s in range(0, n - bs + 1, bs):
             imgs, boxes, valid, masks = gather(dev, jnp.asarray(idx[s:s + bs]))
-            params, stats, opt, m = step(params, stats, opt, imgs, boxes,
-                                         valid, masks)
+            if args.augment:
+                aug_rng, k = jax.random.split(aug_rng)
+                params, stats, opt, m = step(params, stats, opt, imgs, boxes,
+                                             valid, masks, k)
+            else:
+                params, stats, opt, m = step(params, stats, opt, imgs, boxes,
+                                             valid, masks)
             metrics.append(m)
         # Non-finite steps are SKIPPED by the optimizer (make_yolo_optimizer:
         # apply_if_finite + batch-stats gating), so params stay finite;

@@ -286,3 +286,74 @@ class TestNonFiniteGuard:
         # Running stats must be byte-identical to the pre-step stats.
         for old, new in zip(jax.tree.leaves(stats), jax.tree.leaves(new_stats)):
             np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+class TestAugment:
+    """augment_batch: label consistency under flips + bounded photometrics."""
+
+    def _batch(self, seed=0, b=4, s=64, g=4):
+        rng = np.random.default_rng(seed)
+        images = rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32)
+        x1 = rng.uniform(0, s - 16, (b, g)).astype(np.float32)
+        y1 = rng.uniform(0, s - 16, (b, g)).astype(np.float32)
+        w = rng.uniform(8, 16, (b, g)).astype(np.float32)
+        h = rng.uniform(8, 16, (b, g)).astype(np.float32)
+        boxes = np.stack([x1, y1, x1 + w, y1 + h], -1)
+        masks = (rng.uniform(0, 1, (b, g, s // 4, s // 4)) > 0.5).astype(
+            np.float32)
+        return jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(masks)
+
+    def test_boxes_stay_ordered_and_in_frame(self):
+        from flope_tpu.train.yolo_train import augment_batch
+        images, boxes, masks = self._batch()
+        for seed in range(4):
+            _, b2, _ = augment_batch(jax.random.PRNGKey(seed), images, boxes,
+                                     masks, 64)
+            b2 = np.asarray(b2)
+            assert (b2[..., 2] > b2[..., 0]).all()
+            assert (b2[..., 3] > b2[..., 1]).all()
+            assert (b2 >= 0).all() and (b2 <= 64).all()
+            # Box sizes are preserved exactly by flips.
+            np.testing.assert_allclose(
+                b2[..., 2] - b2[..., 0],
+                np.asarray(boxes[..., 2] - boxes[..., 0]), rtol=1e-6)
+
+    def test_mask_follows_image_flip(self):
+        """Paint one GT box into the image; after augmentation the painted
+        region must still be where the (flipped) box says it is."""
+        from flope_tpu.train.yolo_train import augment_batch
+        s = 64
+        images = np.zeros((2, s, s, 3), np.float32)
+        boxes = np.tile(np.array([8.0, 16.0, 24.0, 40.0], np.float32),
+                        (2, 1, 1))
+        images[:, 16:40, 8:24] = 1.0
+        masks = np.zeros((2, 1, s // 4, s // 4), np.float32)
+        masks[:, 0, 4:10, 2:6] = 1.0
+        for seed in range(6):
+            im2, b2, m2 = augment_batch(
+                jax.random.PRNGKey(seed), jnp.asarray(images),
+                jnp.asarray(boxes), jnp.asarray(masks), s)
+            im2, b2, m2 = map(np.asarray, (im2, b2, m2))
+            for i in range(2):
+                x1, y1, x2, y2 = b2[i, 0].round().astype(int)
+                # photometric jitter keeps painted >> unpainted
+                inside = im2[i, y1:y2, x1:x2].mean()
+                outside = im2[i].mean() * s * s / max(
+                    (s * s - (x2 - x1) * (y2 - y1)), 1)
+                assert inside > 0.3
+                # proto-res mask inside the box/4 region
+                mx1, my1, mx2, my2 = (np.array([x1, y1, x2, y2]) / 4).round(
+                ).astype(int)
+                assert m2[i, 0, my1:my2, mx1:mx2].mean() > 0.9
+                assert m2[i, 0].sum() == masks[i, 0].sum()
+
+    def test_augmented_step_runs(self, setup):
+        from flope_tpu.train.yolo_train import make_yolo_train_step
+        model, v, tx, _ = setup
+        step = make_yolo_train_step(model, tx, CFG, augment=True)
+        images, boxes, masks = self._batch(b=2)
+        valid = jnp.ones(boxes.shape[:2], bool)
+        opt = tx.init(v["params"])
+        p, s, o, m = step(v["params"], v["batch_stats"], opt, images, boxes,
+                          valid, masks, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["total"]))
