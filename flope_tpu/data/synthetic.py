@@ -144,6 +144,10 @@ class FrameData:
     gt_poses_world: np.ndarray  # (D,4,4)
     centers_uv: np.ndarray    # (D,2) projected centers
     cam_pose: np.ndarray      # (4,4) camera-to-world
+    # Unoccluded fraction of each GT flower's rasterized pixels (hard domain
+    # z-buffer ownership; flat scenes have near-zero overlap and report 1.0).
+    # Diagnostic ground truth for recall-vs-occlusion analysis; padded 0.
+    visible_frac: np.ndarray | None = None
 
 
 def orbit_camera(scene: SyntheticScene, angle_rad: float, radius: float = 1.0,
@@ -252,6 +256,7 @@ def render_frame(scene: SyntheticScene, cam_pose: np.ndarray, max_det: int = 16,
         gt_poses_world=gt_world,
         centers_uv=centers,
         cam_pose=cam_pose,
+        visible_frac=valid.astype(np.float32),
     )
 
 
@@ -519,6 +524,7 @@ def _render_frame_hard(scene: SyntheticScene, cam_pose: np.ndarray,
     gt_cam = np.tile(np.eye(4), (max_det, 1, 1))
     gt_world = np.tile(np.eye(4), (max_det, 1, 1))
     centers = np.zeros((max_det, 2), np.float32)
+    vis_frac = np.zeros((max_det,), np.float32)
     visible_px = np.bincount(idbuf[idbuf >= 0].ravel(), minlength=n) \
         if (idbuf >= 0).any() else np.zeros(n, np.int64)
 
@@ -531,6 +537,7 @@ def _render_frame_hard(scene: SyntheticScene, cam_pose: np.ndarray,
         frac = visible_px[i] / raster_px[i]
         if frac < dom.min_visible_frac or visible_px[i] < 12:
             continue
+        vis_frac[slot] = frac
         bbox, u, v, R_c, t_c = flower_info[i]
         boxes[slot] = [max(int(bbox[0]), 0), max(int(bbox[1]), 0),
                        min(int(np.ceil(bbox[2])), w), min(int(np.ceil(bbox[3])), h)]
@@ -578,6 +585,7 @@ def _render_frame_hard(scene: SyntheticScene, cam_pose: np.ndarray,
         gt_poses_world=gt_world,
         centers_uv=centers,
         cam_pose=cam_pose,
+        visible_frac=vis_frac,
     )
 
 
