@@ -25,7 +25,8 @@ __all__ = ["masked_depth_value"]
 
 
 @functools.partial(jax.jit, static_argnames=("erode_ksize", "min_pixels",
-                                             "exact", "region_size"))
+                                             "exact", "region_size",
+                                             "fallback"))
 def masked_depth_value(
     boxes: jax.Array,
     depth: jax.Array,
@@ -36,6 +37,7 @@ def masked_depth_value(
     min_pixels: int = 50,
     exact: bool = True,
     region_size: int | None = None,
+    fallback: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-box flower depth (meters) + reliability flags.
 
@@ -43,6 +45,15 @@ def masked_depth_value(
     slicing in the reference). depth: (H, W) float meters. seg_mask: (H, W)
     uint8 {0,255} or bool. Returns (values (N,), reliable (N,)).
     Padded/degenerate boxes yield value 0 and reliable=False naturally.
+
+    fallback=True: when the ERODED in-box count is below min_pixels but the
+    un-eroded (seg ∧ band) count still clears it, use the un-eroded masked
+    mean and keep the box reliable. The reference drops such flowers
+    outright (pose_predictor.py:125-127) — its erosion exists to keep
+    boundary depth bleed out of the mean — but small/occluded flowers whose
+    mask erodes away entirely carry usable interior depth; measured on the
+    hard protocol the hard drop costs ~18% of true detections (PERF.md
+    round 5). Off by default (reference-parity semantics).
 
     region_size=R takes precedence over the exact/SAT choice (combining
     region_size with exact=False raises). It slices a fixed RxR window
@@ -77,7 +88,19 @@ def masked_depth_value(
     depth = depth.astype(jnp.float32)
     band = (depth > near_plane) & (depth < far_plane)
     seg = seg_mask > 128 if seg_mask.dtype != jnp.bool_ else seg_mask
-    m = erode(seg & band, erode_ksize)
+    raw = seg & band
+    m = erode(raw, erode_ksize)
+
+    def merge(cnt, total, cnt_raw, total_raw):
+        """Eroded mean when reliable, else the un-eroded fallback mean."""
+        vals = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+        if not fallback:
+            return vals, cnt >= min_pixels
+        vals_raw = jnp.where(cnt_raw > 0,
+                             total_raw / jnp.maximum(cnt_raw, 1), 0.0)
+        use_raw = (cnt < min_pixels) & (cnt_raw >= min_pixels)
+        return (jnp.where(use_raw, vals_raw, vals),
+                (cnt >= min_pixels) | (cnt_raw >= min_pixels))
 
     b = boxes.astype(jnp.int32)
     if region_size is not None and region_size < min(h, w):
@@ -95,11 +118,17 @@ def masked_depth_value(
             rect = ((rows >= bi[1]) & (rows < bi[3])
                     & (cols >= bi[0]) & (cols < bi[2]))
             sel = rect & mm
-            return (jnp.sum(sel), jnp.sum(jnp.where(sel, d, 0.0)))
+            out = (jnp.sum(sel), jnp.sum(jnp.where(sel, d, 0.0)))
+            if fallback:
+                sel_raw = rect & jax.lax.dynamic_slice(raw, (y0, x0), (r, r))
+                out += (jnp.sum(sel_raw),
+                        jnp.sum(jnp.where(sel_raw, d, 0.0)))
+            else:
+                out += (jnp.int32(0), jnp.float32(0.0))
+            return out
 
-        cnt, total = jax.vmap(one)(b, rx0, ry0)
-        values = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
-        return values, cnt >= min_pixels
+        cnt, total, cnt_raw, total_raw = jax.vmap(one)(b, rx0, ry0)
+        return merge(cnt, total, cnt_raw, total_raw)
 
     if exact:
         rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
@@ -113,16 +142,20 @@ def masked_depth_value(
         sel = rect & m[None]
         cnt = jnp.sum(sel, axis=(1, 2))
         total = jnp.sum(jnp.where(sel, depth[None], 0.0), axis=(1, 2))
-        values = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
-        return values, cnt >= min_pixels
+        if fallback:
+            sel_raw = rect & raw[None]
+            cnt_raw = jnp.sum(sel_raw, axis=(1, 2))
+            total_raw = jnp.sum(jnp.where(sel_raw, depth[None], 0.0),
+                                axis=(1, 2))
+        else:
+            cnt_raw = total_raw = None
+        return merge(cnt, total, cnt_raw, total_raw)
 
     # S[i, j] = sum over rows < i, cols < j (one leading zero row/col).
     def sat(x):
         s = jnp.cumsum(jnp.cumsum(x, axis=0, dtype=jnp.float32), axis=1)
         return jnp.pad(s, ((1, 0), (1, 0)))
 
-    sat_d = sat(jnp.where(m, depth, 0.0))
-    sat_c = sat(m.astype(jnp.float32))
     x0 = jnp.clip(b[:, 0], 0, w)
     x1 = jnp.clip(b[:, 2], 0, w)
     y0 = jnp.clip(b[:, 1], 0, h)
@@ -131,7 +164,12 @@ def masked_depth_value(
     def box_sums(s):
         return s[y1, x1] - s[y0, x1] - s[y1, x0] + s[y0, x0]
 
-    cnt = jnp.maximum(jnp.round(box_sums(sat_c)).astype(jnp.int32), 0)
-    total = box_sums(sat_d)
-    values = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
-    return values, cnt >= min_pixels
+    def sat_cnt_total(mask):
+        c = jnp.maximum(jnp.round(box_sums(sat(mask.astype(jnp.float32)))
+                                  ).astype(jnp.int32), 0)
+        t = box_sums(sat(jnp.where(mask, depth, 0.0)))
+        return c, t
+
+    cnt, total = sat_cnt_total(m)
+    cnt_raw, total_raw = sat_cnt_total(raw) if fallback else (None, None)
+    return merge(cnt, total, cnt_raw, total_raw)

@@ -58,6 +58,13 @@ class PipelineConfig:
     filter_large: bool = False
     min_depth_pixels: int = 50
     erode_ksize: int = 10
+    # Depth-reliability fallback: instead of dropping a flower whose ERODED
+    # mask count misses min_depth_pixels (the reference's hard drop,
+    # pose_predictor.py:125-127), use the un-eroded masked mean when IT
+    # clears min_depth_pixels. Recovers small/occluded flowers whose mask
+    # erosion wipes out (~18% of true hard-domain detections, PERF.md r5).
+    # Off by default = reference-parity semantics.
+    depth_fallback: bool = False
     model_dtype: Any = jnp.float32
     # PoseNet backbone channel scale (0.5 = the distilled 512^2 student;
     # must match the checkpoint's width).
@@ -112,6 +119,7 @@ def _frame_geometry(depth_raw, boxes, det_valid, seg_mask, K, h, w,
         boxes, depth_m, seg_mask,
         near_plane=config.near_plane, far_plane=config.far_plane,
         erode_ksize=config.erode_ksize, min_pixels=config.min_depth_pixels,
+        fallback=config.depth_fallback,
     )
     valid = valid & reliable
 

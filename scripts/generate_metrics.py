@@ -49,6 +49,11 @@ def main(argv=None):
     ap.add_argument("--crop-backend", default="xla", choices=["xla", "pallas"],
                     help="crop stage implementation (pallas takes effect in "
                          "batched prediction on TPU)")
+    ap.add_argument("--depth-fallback", action="store_true",
+                    help="un-eroded masked-mean depth fallback for flowers "
+                         "whose eroded mask misses min_depth_pixels (the "
+                         "reference hard-drops them; PipelineConfig."
+                         "depth_fallback)")
     args = ap.parse_args(argv)
 
     from flope_tpu.utils.runtime import setup_jax
@@ -89,7 +94,8 @@ def main(argv=None):
                              model_dtype=jnp.bfloat16, crop_region=448,
                              crop_dtype=jnp.bfloat16,
                              model_width=args.model_width,
-                             crop_backend=args.crop_backend)
+                             crop_backend=args.crop_backend,
+                             depth_fallback=args.depth_fallback)
     else:
         # The pallas backend only activates when crop_region < min(H, W)
         # (predict_frames falls back to XLA otherwise); the default region
@@ -99,7 +105,8 @@ def main(argv=None):
         kw = {"crop_region": region} if region else {}
         cfg = PipelineConfig(max_det=args.max_det, crop_size=args.crop,
                              model_width=args.model_width,
-                             crop_backend=args.crop_backend, **kw)
+                             crop_backend=args.crop_backend,
+                             depth_fallback=args.depth_fallback, **kw)
     if args.crop_backend == "pallas" and (
             cfg.crop_region is None
             or cfg.crop_region >= min(args.height, args.width)):

@@ -260,6 +260,38 @@ class TestMaskedDepthValue:
                                   jnp.asarray(seg))
         assert float(v[0]) == 0.0 and not bool(r[0])
 
+    @pytest.mark.parametrize("path", ["exact", "sat", "region"])
+    def test_depth_fallback(self, path):
+        """fallback=True: a small mask that erodes away but has >= min_pixels
+        raw (seg ∧ band) pixels becomes reliable with the UN-eroded mean; a
+        big mask keeps the eroded mean bit-identically; a tiny mask (< min
+        raw pixels) stays unreliable."""
+        h, w = 128, 256
+        depth = np.full((h, w), 5.0, np.float32)       # out of band
+        seg = np.zeros((h, w), np.uint8)
+        # Small blob: 9x9 = 81 raw px (>=50) but erodes away under ksize 10.
+        seg[10:19, 10:19] = 255
+        depth[10:19, 10:19] = 1.5
+        # Big blob: survives erosion.
+        seg[40:104, 60:124] = 255
+        depth[40:104, 60:124] = 2.0
+        # Tiny blob: 5x5 = 25 raw px (< 50).
+        seg[110:115, 200:205] = 255
+        depth[110:115, 200:205] = 1.0
+        boxes = jnp.asarray([[0, 0, 32, 32], [50, 30, 134, 114],
+                             [190, 100, 215, 125]])
+        kw = {"exact": path != "sat"}
+        if path == "region":
+            kw["region_size"] = 112
+        base_v, base_r = masked_depth_value(
+            boxes, jnp.asarray(depth), jnp.asarray(seg), **kw)
+        fb_v, fb_r = masked_depth_value(
+            boxes, jnp.asarray(depth), jnp.asarray(seg), fallback=True, **kw)
+        assert [bool(x) for x in base_r] == [False, True, False]
+        assert [bool(x) for x in fb_r] == [True, True, False]
+        assert abs(float(fb_v[0]) - 1.5) < 1e-5      # un-eroded mean
+        assert float(fb_v[1]) == float(base_v[1])    # eroded path untouched
+
 
 class TestNMS:
     def _oracle(self, boxes, scores, iou_th):
