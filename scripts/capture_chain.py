@@ -56,6 +56,14 @@ def main(argv=None):
     ap.add_argument("--max-det", type=int, default=16)
     ap.add_argument("--dist-th-mm", type=float, default=50.0)
     ap.add_argument("--score-th", type=float, default=10.0)
+    ap.add_argument("--det-score-th", type=float, default=0.25,
+                    help="detector score threshold for the test_posenet "
+                         "stage (0.05 = hard-domain recall-optimal point)")
+    ap.add_argument("--refine-boxes", action="store_true",
+                    help="mask-tight detector boxes in the detection stage")
+    ap.add_argument("--depth-fallback", action="store_true",
+                    help="un-eroded depth fallback in the extract_depth "
+                         "stage (PERF.md round 5)")
     ap.add_argument("--skip-generate", action="store_true",
                     help="reuse an existing capture dir")
     ap.add_argument("--generate-only", action="store_true",
@@ -87,9 +95,12 @@ def main(argv=None):
     pn_args = (["--posenet-ckpt", args.posenet_ckpt]
                if args.posenet_ckpt else [])
     run("test_posenet.py", "--data-dir", out, "--crop", args.crop,
-        "--max-det", args.max_det, *det_args, *pn_args,
+        "--max-det", args.max_det, "--score-th", args.det_score_th,
+        *(["--refine-boxes"] if args.refine_boxes else []),
+        *det_args, *pn_args,
         *(["--cpu"] if args.cpu else []))
-    run("extract_depth.py", "--data-dir", out)
+    run("extract_depth.py", "--data-dir", out,
+        *(["--depth-fallback"] if args.depth_fallback else []))
     run("align_measurements.py", "--data-dir", out,
         "--dist-th-mm", args.dist_th_mm, "--score-th", args.score_th)
     run("kalman_filter.py", "--data-dir", out)

@@ -18,6 +18,10 @@ def main(argv=None):
                     help="sensor units -> meters (1e-3 for mm pngs)")
     ap.add_argument("--near", type=float, default=0.1)
     ap.add_argument("--far", type=float, default=3.0)
+    ap.add_argument("--depth-fallback", action="store_true",
+                    help="un-eroded masked-mean fallback for boxes whose "
+                         "eroded mask misses min_pixels (PipelineConfig."
+                         "depth_fallback semantics; PERF.md round 5)")
     ap.add_argument("--tpu", action="store_true", help="run on the TPU backend (default: CPU — these are host-bound offline stages)")
     args = ap.parse_args(argv)
 
@@ -53,7 +57,8 @@ def main(argv=None):
             mask = mask[..., 0]
         vals, rel = masked_depth_value(
             jnp.asarray(boxes), jnp.asarray(depth_m), jnp.asarray(mask),
-            near_plane=args.near, far_plane=args.far)
+            near_plane=args.near, far_plane=args.far,
+            fallback=args.depth_fallback)
         out = np.stack([np.asarray(vals), np.asarray(rel).astype(np.float64)])
         np.savetxt(pth(data.depth_val, name, "txt"), out)
         print(f"{name}: {out.shape[1]} depths, {int(out[1].sum())} reliable")

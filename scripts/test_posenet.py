@@ -28,6 +28,12 @@ def main(argv=None):
     ap.add_argument("--yolo-ckpt", default=None)
     ap.add_argument("--max-det", type=int, default=16)
     ap.add_argument("--crop", type=int, default=512)
+    ap.add_argument("--score-th", type=float, default=0.25,
+                    help="yolo detector score threshold (0.05 is the "
+                         "recall-optimal hard-domain operating point, "
+                         "PERF.md round 5)")
+    ap.add_argument("--refine-boxes", action="store_true",
+                    help="mask-tight detector boxes (deployed default)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -65,7 +71,9 @@ def main(argv=None):
         if args.yolo_ckpt:
             from flope_tpu.utils.checkpoint import load_ckpt
             yolo_v = load_ckpt(args.yolo_ckpt)
-        detector = YoloJaxDetector(yolo_v, max_det=args.max_det)
+        detector = YoloJaxDetector(yolo_v, max_det=args.max_det,
+                                   score_th=args.score_th,
+                                   refine_boxes=args.refine_boxes)
 
     for name in data.files:
         rgb = np.asarray(Image.open(pth(data.rgb, name, "png")))[..., :3]
