@@ -55,6 +55,11 @@ class TrainConfig:
     # a constant 3e-4 AdamW stalls in the 20-40 deg range.
     lr_schedule: str = "constant"
     total_steps: int = 0  # cosine horizon; 0 = filled in by train_posenet
+    # Polyak/EMA averaging of params (0 = off, reference parity; 0.999 is a
+    # good default when on). The evaluated/released weights become the EMA
+    # shadow — smooths late-training noise, which is where the flat stack's
+    # NaN-adjacent best-snapshot regression came from (PERF.md round 3).
+    ema_decay: float = 0.0
     image_size: int = 512
     dropout: float = 0.5
     model_dtype: Any = jnp.float32
@@ -77,6 +82,8 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+    # EMA shadow of params (None when ema_decay == 0).
+    ema_params: Any = None
 
 
 def chordal_loss(R_pred: jax.Array, R_gt: jax.Array) -> jax.Array:
@@ -152,12 +159,14 @@ def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[PoseNet, Tr
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
+        ema_params=(jax.tree.map(jnp.copy, variables["params"])
+                    if config.ema_decay > 0 else None),
     )
     return model, state
 
 
 def make_train_step(model: PoseNet, tx: optax.GradientTransformation, mesh=None,
-                    donate: bool = True):
+                    donate: bool = True, ema_decay: float = 0.0):
     """Returns a jitted (state, images, rot_gt, rng) -> (state, metrics) step.
 
     With a mesh, the batch is sharded over 'data' and gradients reduce via
@@ -187,19 +196,26 @@ def make_train_step(model: PoseNet, tx: optax.GradientTransformation, mesh=None,
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay > 0:
+            new_ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params, new_params)
         metrics = {"loss": loss, "angle_deg": angle_error_deg(R, rot_gt)}
         return TrainState(params=new_params, batch_stats=new_stats,
-                          opt_state=new_opt, step=state.step + 1), metrics
+                          opt_state=new_opt, step=state.step + 1,
+                          ema_params=new_ema), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: PoseNet, mesh=None):
+def make_eval_step(model: PoseNet, mesh=None, use_ema: bool = False):
     def step(state: TrainState, images, rot_gt):
         if mesh is not None:
             images = jax.lax.with_sharding_constraint(
                 images, NamedSharding(mesh, P("data")))
-        r9 = model.apply({"params": state.params,
+        params = state.ema_params if use_ema else state.params
+        r9 = model.apply({"params": params,
                           "batch_stats": state.batch_stats},
                          images, train=False)
         R = PoseNet.to_rotmats(r9)
@@ -240,9 +256,15 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
     if init_variables is not None:
         state = state.replace(params=init_variables["params"],
                               batch_stats=init_variables["batch_stats"],
-                              opt_state=tx.init(init_variables["params"]))
-    train_step = make_train_step(model, tx, mesh)
-    eval_step = make_eval_step(model, mesh)
+                              opt_state=tx.init(init_variables["params"]),
+                              ema_params=(jax.tree.map(
+                                  jnp.copy, init_variables["params"])
+                                  if config.ema_decay > 0 else None))
+    train_step = make_train_step(model, tx, mesh,
+                                 ema_decay=config.ema_decay)
+    # With EMA on, the shadow params are what gets evaluated, snapshotted
+    # and released.
+    eval_step = make_eval_step(model, mesh, use_ema=config.ema_decay > 0)
 
     # Keep the datasets resident on device (as uint8 — host -> device
     # transfers through remote-attached TPUs are slow and 4x matters) and
@@ -322,9 +344,12 @@ def train_posenet(config: TrainConfig, train_data, eval_data=None, mesh=None,
             key = "eval_angle" if "eval_angle" in rec else "train_angle"
             if rec[key] == min(h.get(key, float("inf")) for h in history):
                 # jnp.copy: the live state's buffers are donated into the
-                # next step; snapshots must own their memory.
+                # next step; snapshots must own their memory. With EMA, the
+                # shadow params are the evaluated weights — snapshot those.
+                snap = (state.ema_params if config.ema_decay > 0
+                        else state.params)
                 best_vars = jax.tree.map(jnp.copy,
-                                         {"params": state.params,
+                                         {"params": snap,
                                           "batch_stats": state.batch_stats})
                 best_step = jnp.copy(state.step)
     if ckptr is not None:

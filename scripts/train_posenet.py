@@ -39,6 +39,10 @@ def main(argv=None):
                     help="npz path: render the --synthetic crops once and "
                          "reuse (rendering is host-CPU-bound; caching lets "
                          "device training start instantly)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for Polyak weight averaging (0 = off, "
+                         "reference parity; 0.999 recommended) — eval/best "
+                         "snapshots use the EMA shadow")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default="weights")
     ap.add_argument("--ckpt-every", type=int, default=0,
@@ -123,7 +127,8 @@ def main(argv=None):
                       lr_schedule=args.lr_schedule,
                       image_size=args.image_size, width_mult=args.width,
                       ckpt_dir=args.ckpt_dir,
-                      ckpt_every=args.ckpt_every, log_path=args.log)
+                      ckpt_every=args.ckpt_every, log_path=args.log,
+                      ema_decay=args.ema)
     init_variables = None
     if args.warm_start:
         from flope_tpu.utils.checkpoint import load_posenet_ckpt

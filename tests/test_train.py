@@ -57,6 +57,31 @@ class TestTrainingLearns:
         assert hist[-1]["train_loss"] < hist[0]["train_loss"] * 0.9
         assert hist[-1]["train_angle"] < hist[0]["train_angle"]
 
+    def test_ema_shadow_trails_params_and_is_released(self):
+        """ema_decay>0: the shadow is a smoothed copy (neither frozen at init
+        nor equal to the live params), and best/eval use it."""
+        cfg = TrainConfig(optimizer="adamw", lr=3e-3, batch_size=32,
+                          epochs=3, dropout=0.0, ema_decay=0.9, **SMALL)
+        data = synthetic_crops(64, size=cfg.image_size, seed=0)
+        model, state, hist = train_posenet(cfg, data, data, epochs=3,
+                                           log_fn=lambda *_: None)
+        lead = state.params["fc_rot"]["kernel"]
+        shadow = state.ema_params["fc_rot"]["kernel"]
+        init_model, init_state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+        init_k = init_state.params["fc_rot"]["kernel"]
+        assert not np.allclose(np.asarray(lead), np.asarray(shadow))
+        assert not np.allclose(np.asarray(shadow), np.asarray(init_k))
+        # eval path consumes the shadow without error
+        ev = make_eval_step(model, use_ema=True)
+        m = ev(state, jnp.asarray(data["images"][:8]),
+               jnp.asarray(data["rotations"][:8]))
+        assert np.isfinite(float(m["angle_deg"]))
+
+    def test_ema_off_has_no_shadow(self):
+        cfg = TrainConfig(optimizer="adamw", epochs=1, dropout=0.0, **SMALL)
+        _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        assert state.ema_params is None
+
     def test_cosine_schedule_trains_and_fills_total_steps(self):
         # total_steps=0 must be derived from epochs x steps-per-epoch inside
         # train_posenet; the run must learn at least as well as constant-lr
