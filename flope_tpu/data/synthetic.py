@@ -51,6 +51,13 @@ class DomainConfig:
     depth_noise_mm: float = 0.0   # depth sensor noise std (mm)
     min_visible_frac: float = 0.0  # GT slots require this unoccluded fraction
     overlap_spread: float | None = None  # override cluster spread (occlusion)
+    # Probability that a GT TRAINING crop (render_flower_crop) gets partial
+    # leaf occlusion — elliptical bites removed from the mask exactly like
+    # the deployed mask-zeroing of an occluding leaf. Deployment crops carry
+    # occlusion (scene flowers are valid down to min_visible_frac) but the
+    # plain GT crop renderer never did; detector-matched crops were the only
+    # occluded training source, and their labels are noisy (PERF.md r5).
+    crop_occlusion: float = 0.0
 
     def is_flat(self) -> bool:
         return (self.petals == 0 and self.background == "flat"
@@ -666,6 +673,26 @@ def _render_flower_crop_hard(R_cam: np.ndarray, size: int, fill: float,
         if it > 0:
             mask = (binary_dilation(inside, iterations=it) if rng.random() < 0.5
                     else binary_erosion(inside, iterations=it))
+    if domain.crop_occlusion > 0 and rng.random() < domain.crop_occlusion:
+        # Partial leaf occlusion: elliptical bites removed from the mask.
+        # The deployed pipeline zeroes non-mask pixels, so an occluding leaf
+        # appears as a zeroed region — reproduced exactly by mask removal.
+        occ = np.zeros((size, size), bool)
+        for _ in range(int(rng.integers(1, 3))):
+            cx = u0 + rng.uniform(-1.0, 1.0) * r_px
+            cy = v0 + rng.uniform(-1.0, 1.0) * r_px
+            a = rng.uniform(0.25, 0.7) * r_px
+            b = rng.uniform(0.15, 0.5) * r_px
+            ang = rng.uniform(0, np.pi)
+            ca, sa = np.cos(ang), np.sin(ang)
+            ex = ((xs - cx) * ca + (ys - cy) * sa) / a
+            ey = (-(xs - cx) * sa + (ys - cy) * ca) / b
+            occ |= ex ** 2 + ey ** 2 < 1.0
+        vis = 1.0 - (occ & inside).sum() / max(inside.sum(), 1)
+        # Keep at least the scene GT filter's visibility bound — flowers
+        # more occluded than this are never ground truth at deployment.
+        if vis >= max(domain.min_visible_frac, 0.25):
+            mask = mask & ~occ
     rgb = np.where(mask[..., None], np.where(inside[..., None], tex, bg), 0.0)
 
     if domain.lighting > 0:

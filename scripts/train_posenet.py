@@ -19,6 +19,10 @@ def main(argv=None):
     ap.add_argument("--box-jitter", type=float, default=0.0,
                     help="synthetic crops: random center/scale jitter fraction "
                          "(emulates imperfect detector boxes)")
+    ap.add_argument("--crop-occlusion", type=float, default=0.0,
+                    help="probability a rendered GT crop gets partial leaf "
+                         "occlusion (DomainConfig.crop_occlusion) — "
+                         "occluded-appearance training with exact labels")
     ap.add_argument("--domain", default="flat", choices=["flat", "hard"],
                     help="synthetic crop rendering domain (hard = petal "
                          "flowers, foliage mask leak, lighting/noise/blur)")
@@ -69,6 +73,10 @@ def main(argv=None):
 
     from flope_tpu.data.synthetic import DomainConfig
     domain = DomainConfig.named(args.domain)
+    if args.crop_occlusion > 0:
+        import dataclasses
+        domain = dataclasses.replace(domain,
+                                     crop_occlusion=args.crop_occlusion)
     if args.synthetic and not args.data_dir:
         import numpy as np
 

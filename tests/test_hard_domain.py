@@ -124,6 +124,30 @@ class TestHardFrame:
 
 
 class TestHardCrop:
+    def test_crop_occlusion_bites_mask(self):
+        """crop_occlusion=1: elliptical bites remove flower pixels (zeroed,
+        like the deployed mask-multiply of an occluding leaf), at least 25%
+        of the flower always stays visible, and crop_occlusion=0 is the
+        unchanged default path."""
+        import dataclasses
+
+        from flope_tpu.data.synthetic import DomainConfig, render_flower_crop
+        base = DomainConfig.hard()
+        occd = dataclasses.replace(base, crop_occlusion=1.0)
+        assert base.crop_occlusion == 0.0  # presets unchanged by default
+        R = np.eye(3)
+        losses = []
+        for s in range(12):
+            a = render_flower_crop(R, 96, domain=base,
+                                   rng=np.random.default_rng(s))
+            b = render_flower_crop(R, 96, domain=occd,
+                                   rng=np.random.default_rng(s))
+            na = int((a.sum(-1) > 0).sum())
+            nb = int((b.sum(-1) > 0).sum())
+            losses.append((na - nb) / max(na, 1))
+            assert nb >= 0.2 * na  # never mostly occluded
+        assert max(losses) > 0.10  # some crops lose a real bite
+
     def test_crop_renders_petal_flower(self):
         R = sciR.from_euler("zyx", [30, 20, 10], degrees=True).as_matrix()
         crop = render_flower_crop(R, 128, domain=DomainConfig.hard(),
